@@ -1,0 +1,289 @@
+"""BAM + BAI reading: targeted region queries and mate lookup.
+
+Replaces the reference's htslib-backed ``common::BamReader``
+(/root/reference/src/c++/lib/common/BamReader.cpp). Semantics matched:
+
+- ``set_region`` / iteration yields primary alignments only — supplementary
+  (0x800) and secondary (0x100) records are skipped
+  (BamReader::SkipToNextGoodAlign, BamReader.cpp:307-326).
+- A record is yielded when its alignment span overlaps the query region
+  (htslib iterator semantics: 0-based half-open, end from CIGAR reference
+  length; unmapped-but-placed reads count with span pos..pos+1).
+- ``get_aligned_mate`` queries the mate position and matches fragment id and
+  mate order (BamReader::getAlignedMate, BamReader.cpp:328-365).
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+from .bgzf import BgzfReader
+
+SEQ_CODES = "=ACMGRSVTWYHKDBN"
+
+FLAG_PAIRED = 0x1
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_FIRST_MATE = 0x40
+FLAG_SECOND_MATE = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_SUPPLEMENTARY = 0x800
+
+CIGAR_OPS = "MIDNSHP=X"
+# ops that consume reference
+_REF_CONSUME = {0, 2, 3, 7, 8}
+
+
+@dataclass
+class BamRecord:
+    """Decoded BAM alignment record.
+
+    Field selection mirrors decodeHtsAlign (BamReader.cpp:84-107): the graph
+    re-alignment pipeline only needs name/bases/quals/flags/coords, not the
+    linear CIGAR (kept anyway for end-position computation and idxdepth).
+    """
+
+    fragment_id: str
+    flag: int
+    chrom_id: int
+    pos: int  # 0-based leftmost position
+    mapq: int
+    cigar: List[Tuple[int, int]]  # (op, len)
+    mate_chrom_id: int
+    mate_pos: int
+    tlen: int
+    bases: str
+    quals: str  # phred+33 string
+
+    @property
+    def is_mapped(self) -> bool:
+        return (self.flag & FLAG_UNMAPPED) == 0
+
+    @property
+    def is_mate_mapped(self) -> bool:
+        return (self.flag & FLAG_MATE_UNMAPPED) == 0
+
+    @property
+    def is_reverse_strand(self) -> bool:
+        return (self.flag & FLAG_REVERSE) != 0
+
+    @property
+    def is_mate_reverse_strand(self) -> bool:
+        return (self.flag & FLAG_MATE_REVERSE) != 0
+
+    @property
+    def is_first_mate(self) -> bool:
+        return (self.flag & FLAG_FIRST_MATE) != 0
+
+    @property
+    def is_secondary(self) -> bool:
+        return (self.flag & FLAG_SECONDARY) != 0
+
+    @property
+    def is_supplementary(self) -> bool:
+        return (self.flag & FLAG_SUPPLEMENTARY) != 0
+
+    def reference_length(self) -> int:
+        return sum(l for op, l in self.cigar if op in _REF_CONSUME)
+
+    def end_pos(self) -> int:
+        """0-based exclusive end (bam_endpos: pos+1 when no ref-consuming ops)."""
+        rlen = self.reference_length()
+        return self.pos + (rlen if rlen > 0 else 1)
+
+
+def _decode_record(data: bytes) -> BamRecord:
+    (refid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq, next_refid,
+     next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", data, 0)
+    off = 32
+    name = data[off:off + l_read_name - 1].decode()
+    off += l_read_name
+    cigar = []
+    for _ in range(n_cigar):
+        v = struct.unpack_from("<I", data, off)[0]
+        cigar.append((v & 0xF, v >> 4))
+        off += 4
+    nbytes = (l_seq + 1) // 2
+    seq_raw = data[off:off + nbytes]
+    off += nbytes
+    bases = []
+    for i in range(l_seq):
+        b = seq_raw[i // 2]
+        code = (b >> 4) if i % 2 == 0 else (b & 0xF)
+        bases.append(SEQ_CODES[code])
+    quals_raw = data[off:off + l_seq]
+    off += l_seq
+    if l_seq and quals_raw[0] == 0xFF:
+        quals = "#" * l_seq
+    else:
+        quals = "".join(chr(q + 33) for q in quals_raw)
+    return BamRecord(
+        fragment_id=name,
+        flag=flag,
+        chrom_id=refid,
+        pos=pos,
+        mapq=mapq,
+        cigar=cigar,
+        mate_chrom_id=next_refid,
+        mate_pos=next_pos,
+        tlen=tlen,
+        bases="".join(bases),
+        quals=quals,
+    )
+
+
+def _reg2bins(beg: int, end: int) -> List[int]:
+    """Candidate bins overlapping [beg, end) for the standard 6-level scheme."""
+    bins = [0]
+    end -= 1
+    for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
+    return bins
+
+
+class BaiIndex:
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != b"BAI\x01":
+            raise ValueError(f"Not a BAI file: {path}")
+        off = 4
+        n_ref = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        self.refs = []
+        for _ in range(n_ref):
+            bins = {}
+            n_bin = struct.unpack_from("<i", data, off)[0]
+            off += 4
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    beg, end = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((beg, end))
+                bins[bin_id] = chunks
+            n_intv = struct.unpack_from("<i", data, off)[0]
+            off += 4
+            ioffsets = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+            off += 8 * n_intv
+            self.refs.append((bins, ioffsets))
+
+    def chunks_for_region(self, tid: int, beg: int, end: int):
+        if tid < 0 or tid >= len(self.refs):
+            return []
+        bins, ioffsets = self.refs[tid]
+        # linear index lower bound
+        window = beg >> 14
+        min_off = 0
+        if ioffsets:
+            if window < len(ioffsets):
+                min_off = ioffsets[window]
+            elif ioffsets:
+                min_off = ioffsets[-1]
+        chunks = []
+        for b in _reg2bins(beg, end):
+            if b in bins:
+                for cbeg, cend in bins[b]:
+                    if cend > min_off:
+                        chunks.append((max(cbeg, min_off), cend))
+        chunks.sort()
+        # merge adjacent/overlapping chunks
+        merged = []
+        for c in chunks:
+            if merged and c[0] <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], c[1]))
+            else:
+                merged.append(list(c) if False else (c[0], c[1]))
+        return merged
+
+
+class BamReader:
+    def __init__(self, path: str, index_path: str = "", reference_path: str = ""):
+        self.path = path
+        self._bgzf = BgzfReader(path)
+        magic = self._bgzf.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"Not a BAM file: {path}")
+        l_text = struct.unpack("<i", self._bgzf.read(4))[0]
+        self.header_text = self._bgzf.read(l_text).decode(errors="replace")
+        n_ref = struct.unpack("<i", self._bgzf.read(4))[0]
+        self.contigs: List[Tuple[str, int]] = []
+        self.contig_map = {}
+        for i in range(n_ref):
+            l_name = struct.unpack("<i", self._bgzf.read(4))[0]
+            name = self._bgzf.read(l_name)[:-1].decode()
+            l_ref = struct.unpack("<i", self._bgzf.read(4))[0]
+            self.contigs.append((name, l_ref))
+            self.contig_map[name] = i
+        self._data_start = self._bgzf.tell_virtual()
+        self._index = BaiIndex(index_path or path + ".bai")
+
+    def _records_in_chunks(self, chunks) -> Iterator[BamRecord]:
+        for cbeg, cend in chunks:
+            self._bgzf.seek_virtual(cbeg)
+            while self._bgzf.tell_virtual() < cend:
+                raw = self._bgzf.read(4)
+                if len(raw) < 4:
+                    break
+                block_size = struct.unpack("<i", raw)[0]
+                data = self._bgzf.read(block_size)
+                if len(data) < block_size:
+                    break
+                yield _decode_record(data)
+
+    def fetch(self, tid: int, beg: int, end: int,
+              primary_only: bool = True) -> Iterator[BamRecord]:
+        """Yield records overlapping [beg, end) on contig `tid` (0-based)."""
+        chunks = self._index.chunks_for_region(tid, beg, end)
+        for rec in self._records_in_chunks(chunks):
+            if rec.chrom_id != tid:
+                continue
+            if rec.pos >= end:
+                break
+            if rec.end_pos() <= beg:
+                continue
+            if primary_only and (rec.is_secondary or rec.is_supplementary):
+                continue
+            yield rec
+
+    def fetch_region(self, region_str: str, primary_only: bool = True):
+        from .regions import parse_region
+
+        chrom, start, end = parse_region(region_str)
+        tid = self.contig_map[chrom]
+        beg0 = (start - 1) if start else 0
+        end0 = end if end else self.contigs[tid][1]
+        return self.fetch(tid, beg0, end0, primary_only=primary_only)
+
+    def get_aligned_mate(self, read: BamRecord) -> Optional[BamRecord]:
+        """Find the mate of `read` near its recorded mate position.
+
+        Matches BamReader::getAlignedMate (BamReader.cpp:328-365): query one
+        base at the mate coordinate (including secondary/supplementary records,
+        as the htslib iterator there does not filter flags) and return the
+        first record with the same name and opposite mate order.
+        """
+        if read.is_mate_mapped:
+            tid, beg = read.mate_chrom_id, read.mate_pos
+        else:
+            tid, beg = read.chrom_id, read.pos
+        if tid < 0:
+            return None
+        for rec in self.fetch(tid, beg, beg + 1, primary_only=False):
+            if rec.fragment_id == read.fragment_id and rec.is_first_mate != read.is_first_mate:
+                return rec
+        return None
+
+    def index_read_counts(self):
+        """Per-contig (mapped, unmapped) read counts — not stored in BAI in
+        this minimal implementation; computed by scanning bin 37450 pseudo
+        chunks is unsupported, so callers fall back to sampled estimation."""
+        return None
+
+    def close(self):
+        self._bgzf.close()
