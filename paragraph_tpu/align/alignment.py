@@ -1,0 +1,121 @@
+"""Node-CIGAR codec and per-node alignment accounting.
+
+Equivalent of graph-tools' LinearAlignment / GraphAlignment /
+GraphAlignmentOperations (decode of strings like ``0[5S10M]1[4M1X]``,
+graph-tools src/graphalign/GraphAlignmentOperations.cpp:84-118) with the
+same operation classes: M match, X mismatch, N missing bases, I insertion
+to ref, D deletion from ref, S soft clip.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import List, Tuple
+
+_CIGAR_RE = re.compile(r"(\d+)([MXNIDS])")
+_NODE_RE = re.compile(r"(\d+)\[([^\]]*)\]")
+
+_QUERY_OPS = set("MXNIS")
+_REF_OPS = set("MXND")
+
+
+@dataclass
+class NodeAlignment:
+    reference_start: int
+    ops: List[Tuple[int, str]]
+
+    def _count(self, op: str) -> int:
+        return sum(l for l, t in self.ops if t == op)
+
+    @property
+    def num_matched(self) -> int:
+        return self._count("M")
+
+    @property
+    def num_mismatched(self) -> int:
+        return self._count("X")
+
+    @property
+    def num_missing(self) -> int:
+        return self._count("N")
+
+    @property
+    def num_clipped(self) -> int:
+        return self._count("S")
+
+    @property
+    def num_inserted(self) -> int:
+        return self._count("I")
+
+    @property
+    def num_deleted(self) -> int:
+        return self._count("D")
+
+    @property
+    def query_length(self) -> int:
+        return sum(l for l, t in self.ops if t in _QUERY_OPS)
+
+    @property
+    def reference_length(self) -> int:
+        return sum(l for l, t in self.ops if t in _REF_OPS)
+
+    def generate_cigar(self) -> str:
+        return "".join(f"{l}{t}" for l, t in self.ops)
+
+
+@dataclass
+class GraphAlignment:
+    """Decoded graph alignment: path node ids + per-node linear alignments."""
+
+    node_ids: List[int]
+    alignments: List[NodeAlignment]
+    path_start: int  # offset of first aligned base in first node
+    path_end: int  # offset of last aligned base in last node
+
+    @property
+    def query_length(self) -> int:
+        return sum(a.query_length for a in self.alignments)
+
+    @property
+    def reference_length(self) -> int:
+        return sum(a.reference_length for a in self.alignments)
+
+    def generate_cigar(self) -> str:
+        return "".join(
+            f"{nid}[{a.generate_cigar()}]"
+            for nid, a in zip(self.node_ids, self.alignments))
+
+    def __len__(self):
+        return len(self.node_ids)
+
+
+def parse_cigar(cigar: str) -> List[Tuple[int, str]]:
+    pos = 0
+    out = []
+    for m in _CIGAR_RE.finditer(cigar):
+        if m.start() != pos:
+            raise ValueError(f"Bad CIGAR: {cigar}")
+        out.append((int(m.group(1)), m.group(2)))
+        pos = m.end()
+    if pos != len(cigar):
+        raise ValueError(f"Bad CIGAR: {cigar}")
+    return out
+
+
+def decode_graph_alignment(first_node_start: int, graph_cigar: str
+                           ) -> GraphAlignment:
+    node_ids = []
+    alignments = []
+    pos = 0
+    for m in _NODE_RE.finditer(graph_cigar):
+        if m.start() != pos:
+            raise ValueError(f"Bad graph CIGAR: {graph_cigar}")
+        pos = m.end()
+        node_ids.append(int(m.group(1)))
+        ref_pos = first_node_start if not alignments else 0
+        alignments.append(NodeAlignment(ref_pos, parse_cigar(m.group(2))))
+    if pos != len(graph_cigar) or not node_ids:
+        raise ValueError(f"Bad graph CIGAR: {graph_cigar}")
+    last = alignments[-1]
+    path_end = last.reference_start + last.reference_length - 1
+    return GraphAlignment(node_ids, alignments, first_node_start, path_end)
