@@ -1,0 +1,94 @@
+"""Aligner cascade: exact path match → kmer → klib → graph SW.
+
+Equivalent of ``grm::CompositeAligner``
+(/root/reference/src/c++/lib/grm/CompositeAligner.cpp): each later stage
+runs only when earlier stages left the read unmapped or filtered; the
+filter gives reads a second chance with later aligners and tracks
+hit-rate counters (the aligner-cascade metrics logged per chunk in
+Align.cpp:33-40 are kept as first-class counters here).
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from ..graph.model import SequenceGraph
+from ..reads.read import Read, MAPPED, UNMAPPED, BAD_ALIGN
+from .graph_aligner import GraphAligner
+from .path_aligner import PathAligner
+
+ReadFilter = Callable[[Read], bool]
+
+
+class CompositeAligner:
+    def __init__(self, path_matching: bool, graph_matching: bool,
+                 klib_matching: bool = False, kmer_matching: bool = False):
+        self.path_matching = path_matching
+        self.graph_matching = graph_matching
+        self.klib_matching = klib_matching
+        self.kmer_matching = kmer_matching
+        self.path_aligner: Optional[PathAligner] = None
+        self.graph_aligner: Optional[GraphAligner] = None
+        # counters (CompositeAligner.hh)
+        self.attempted = 0
+        self.mapped_path = 0
+        self.anchored_path = 0
+        self.mapped_kmers = 0
+        self.mapped_klib = 0
+        self.mapped_sw = 0
+        self.filtered = 0
+
+    def set_graph(self, graph: SequenceGraph, paths=None):
+        if self.path_matching:
+            self.path_aligner = PathAligner()
+            self.path_aligner.set_graph(graph)
+        if self.graph_matching:
+            self.graph_aligner = GraphAligner(graph)
+        if self.klib_matching or self.kmer_matching:
+            raise NotImplementedError(
+                "klib/kmer aligners are not implemented yet")
+
+    def align_read(self, read: Read, filt: Optional[ReadFilter] = None):
+        """CompositeAligner::alignRead (CompositeAligner.cpp:78-176)."""
+        self.attempted += 1
+        if self.path_matching:
+            self.path_aligner.align_read(read)
+            if read.graph_mapping_status == MAPPED:
+                self.mapped_path += 1
+            self.anchored_path = self.path_aligner.anchored
+
+        if read.graph_mapping_status == MAPPED and filt and filt(read):
+            read.graph_mapping_status = BAD_ALIGN
+            if not (self.kmer_matching or self.klib_matching
+                    or self.graph_matching):
+                self.filtered += 1
+
+        if read.graph_mapping_status != MAPPED and self.graph_matching:
+            self.graph_aligner.align_read(read)
+            read.graph_mapping_status = MAPPED
+            if filt and filt(read):
+                read.graph_mapping_status = BAD_ALIGN
+                self.filtered += 1
+            else:
+                self.mapped_sw += 1
+
+
+def align_reads(graph: SequenceGraph, paths, reads: List[Read],
+                filt: Optional[ReadFilter],
+                path_matching: bool, graph_matching: bool,
+                klib_matching: bool, kmer_matching: bool,
+                validate_alignments: bool = False,
+                threads: int = 1) -> List[Read]:
+    """grm::alignReads (Align.cpp:114-156): align every read and keep only
+    those that end MAPPED. Returns the filtered read buffer."""
+    aligner = CompositeAligner(path_matching, graph_matching,
+                               klib_matching, kmer_matching)
+    aligner.set_graph(graph, paths)
+    kept: List[Read] = []
+    for read in reads:
+        if not read.bases:
+            continue
+        read.graph_mapping_status = UNMAPPED
+        aligner.align_read(read, filt)
+        if read.graph_mapping_status == MAPPED:
+            kept.append(read)
+    return kept

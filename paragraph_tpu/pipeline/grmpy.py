@@ -1,0 +1,173 @@
+"""Multi-sample align + genotype workflow.
+
+Equivalent of ``grmpy::Workflow`` + ``alignSingleSample`` +
+``countAndGenotype`` (/root/reference/src/c++/lib/grmpy/Workflow.cpp,
+AlignSamples.cpp, CountAndGenotype.cpp): for every (sample × graph) extract
+reads and run the paragraph analysis, then genotype each graph across all
+samples.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional
+
+from ..genotyping.graph_genotyper import GraphBreakpointGenotyper
+from ..genotyping.sample_info import SampleInfo
+from ..graph.model import SequenceGraph
+from ..io.bam import BamReader
+from ..reads.extraction import extract_reads
+from .paragraph import (ALL, DETAILED_READ_COUNTS, EDGE_READ_COUNTS,
+                        HAPLOTYPES, NODE_READ_COUNTS, PATH_READ_COUNTS,
+                        Parameters, align_and_disambiguate)
+
+
+class GrmpyParameters:
+    """grmpy::Parameters (grmpy/Parameters.hh)."""
+
+    def __init__(self, threads: int = 1, max_reads: int = 10000,
+                 bad_align_frac: float = 0.8,
+                 path_sequence_matching: bool = False,
+                 graph_sequence_matching: bool = True,
+                 klib_sequence_matching: bool = False,
+                 kmer_sequence_matching: bool = False,
+                 bad_align_uniq_kmer_len: int = 0,
+                 alignment_output_folder: str = "",
+                 infer_read_haplotypes: bool = False):
+        self.threads = threads
+        self.max_reads = max_reads
+        self.bad_align_frac = bad_align_frac
+        self.path_sequence_matching = path_sequence_matching
+        self.graph_sequence_matching = graph_sequence_matching
+        self.klib_sequence_matching = klib_sequence_matching
+        self.kmer_sequence_matching = kmer_sequence_matching
+        self.bad_align_uniq_kmer_len = bad_align_uniq_kmer_len
+        self.alignment_output_folder = alignment_output_folder
+        self.infer_read_haplotypes = infer_read_haplotypes
+
+
+def align_single_sample(parameters: GrmpyParameters, graph_desc: dict,
+                        reference_path: str, reader: BamReader,
+                        sample: SampleInfo) -> None:
+    """grmpy::alignSingleSample (AlignSamples.cpp:115-172)."""
+    import os
+
+    write_alignments = (
+        parameters.alignment_output_folder
+        and os.path.isdir(parameters.alignment_output_folder))
+    if write_alignments:
+        output_options = ALL
+    else:
+        output_options = (NODE_READ_COUNTS | EDGE_READ_COUNTS
+                          | PATH_READ_COUNTS | DETAILED_READ_COUNTS)
+    if parameters.infer_read_haplotypes:
+        output_options |= HAPLOTYPES
+    else:
+        output_options &= ~HAPLOTYPES
+
+    paragraph_parameters = Parameters(
+        parameters.max_reads,
+        3 if write_alignments else parameters.max_reads + 1,
+        0.01, parameters.bad_align_frac, output_options,
+        parameters.path_sequence_matching,
+        parameters.graph_sequence_matching,
+        parameters.klib_sequence_matching,
+        parameters.kmer_sequence_matching, False)
+    paragraph_parameters.threads = parameters.threads
+    paragraph_parameters.kmer_len = parameters.bad_align_uniq_kmer_len
+    paragraph_parameters.load(graph_desc, reference_path)
+
+    all_reads = extract_reads(
+        reader, paragraph_parameters.target_regions, parameters.max_reads,
+        paragraph_parameters.longest_alt_insertion)
+    output = align_and_disambiguate(paragraph_parameters, all_reads)
+    output["bam"] = sample.filename
+
+    if write_alignments:
+        _write_alignments_json(output, parameters, paragraph_parameters,
+                               reference_path, sample)
+
+    for key in ("alignments", "node_coverage", "path_coverage", "phasing",
+                "variants"):
+        output.pop(key, None)
+    sample.alignment_data = output
+
+
+def _write_alignments_json(output, parameters, paragraph_parameters,
+                           reference_path, sample):
+    """grmpy::writeAlignments (AlignSamples.cpp:57-109)."""
+    import gzip
+    import json
+    import os
+    import re
+
+    out = dict(output)
+    out["sample"] = sample.sample_name
+    out["reference"] = reference_path
+    unsafe = re.compile(r"[^A-Za-z0-9.-]")
+    safe_sample = unsafe.sub("_", sample.sample_name)
+    safe_regions = unsafe.sub(
+        "_", "_".join(str(r) for r in paragraph_parameters.target_regions))
+    graph = paragraph_parameters.description
+    graph_id = graph.get("ID") or graph.get("model_name") or "graph"
+    safe_graph_id = unsafe.sub("_", str(graph_id))
+    path = os.path.join(
+        parameters.alignment_output_folder,
+        f"{safe_sample}-{safe_graph_id}-{safe_regions}.json.gz")
+    with gzip.open(path, "wt") as f:
+        json.dump(out, f, sort_keys=True, indent=4, separators=(",", ": "))
+
+
+def count_and_genotype(graph_desc: dict, reference_path: str,
+                       genotyping_parameters: Optional[dict],
+                       samples: List[SampleInfo]) -> dict:
+    """grmpy::countAndGenotype (CountAndGenotype.cpp:46-88)."""
+    root = graph_desc if graph_desc is not None else (
+        samples[0].alignment_data)
+    graph = SequenceGraph.from_json(root, reference_path)
+
+    male_ploidy = 2
+    female_ploidy = 2
+    for t_region in root.get("target_regions", []):
+        chrom = str(t_region).split(":")[0]
+        if chrom in ("chrX", "X"):
+            male_ploidy = 1
+        elif chrom in ("chrY", "Y"):
+            male_ploidy = 1
+            female_ploidy = 1
+
+    genotyper = GraphBreakpointGenotyper(graph, male_ploidy, female_ploidy)
+    genotyper.set_parameters(genotyping_parameters)
+    for sample_info in samples:
+        genotyper.add_alignment(sample_info)
+    return genotyper.get_genotypes()
+
+
+def run_grmpy(graph_descs: List[dict], reference_path: str,
+              manifest: List[SampleInfo],
+              genotyping_parameters: Optional[dict] = None,
+              parameters: Optional[GrmpyParameters] = None) -> List[dict]:
+    """grmpy::Workflow::run (Workflow.cpp:191-239): align every
+    (sample × graph), then genotype every graph; returns the list of
+    genotyping result dicts (the genotypes.json array)."""
+    if parameters is None:
+        parameters = GrmpyParameters()
+
+    results = []
+    readers: Dict[str, BamReader] = {}
+    for graph_desc in graph_descs:
+        graph_samples = []
+        for sample in manifest:
+            s = copy.copy(sample)
+            if s.alignment_data is None:
+                reader = readers.get(s.filename)
+                if reader is None:
+                    reader = BamReader(s.filename, s.index_filename,
+                                       reference_path)
+                    readers[s.filename] = reader
+                align_single_sample(parameters, graph_desc, reference_path,
+                                    reader, s)
+            graph_samples.append(s)
+        results.append(count_and_genotype(
+            graph_desc, reference_path, genotyping_parameters,
+            graph_samples))
+    return results
