@@ -1,0 +1,85 @@
+"""Batched graph aligner: device scoring + host traceback.
+
+TPU-native realisation of grm::GraphAligner's per-read protocol
+(GraphAligner.cpp:308-404): all reads are scored in one batched device
+fill per orientation (forward/reverse-complement × forward/reversed
+graph), strand and uniqueness are selected vectorised, and only the chosen
+orientation of each kept read goes through the exact scalar traceback to
+produce its node-CIGAR.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+from ..graph.model import SequenceGraph
+from ..ops.batched_sw import BatchedGraphSW
+from ..reads.read import Read
+from .graph_aligner import reverse_complement
+from .gssw import GraphSW
+
+
+class BatchedGraphAligner:
+    def __init__(self, graph: Optional[SequenceGraph] = None):
+        self._fwd_scorer: Optional[BatchedGraphSW] = None
+        self._rev_scorer: Optional[BatchedGraphSW] = None
+        self._fwd_scalar: Optional[GraphSW] = None
+        if graph is not None:
+            self.set_graph(graph)
+
+    def set_graph(self, graph: SequenceGraph):
+        self._fwd_scorer = BatchedGraphSW(graph)
+        self._rev_scorer = BatchedGraphSW(graph.reversed())
+        self._fwd_scalar = GraphSW(graph)
+
+    def align_reads_batch(self, reads: List[Read]) -> None:
+        """Batch equivalent of calling GraphAligner::alignRead per read
+        with AF_ALL flags."""
+        if not reads:
+            return
+        fwd_bases = [r.bases.upper() for r in reads]
+        rev_bases = [reverse_complement(b) for b in fwd_bases]
+        n = len(reads)
+        # forward graph: fwd + revcomp reads; reversed graph: reversed +
+        # complement reads (reverse of revcomp)
+        fwd_batch = fwd_bases + rev_bases
+        rev_batch = [b[::-1] for b in fwd_bases] + [b[::-1] for b in rev_bases]
+
+        f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
+        _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
+
+        for i, read in enumerate(reads):
+            fwd_multi = bool(f_multi[i])
+            rev_multi = bool(f_multi[n + i])
+            rfwd_multi = bool(r_multi[i])
+            rrev_multi = bool(r_multi[n + i])
+            fwd_unique = (not fwd_multi) and (not rfwd_multi)
+            rev_unique = (not rev_multi) and (not rrev_multi)
+
+            return_reverse = False
+            if not fwd_unique and rev_unique:
+                return_reverse = True
+            elif fwd_unique and not rev_unique:
+                return_reverse = False
+            else:
+                return_reverse = int(f_score[i]) < int(f_score[n + i])
+
+            read.is_graph_reverse_strand = (
+                read.is_reverse_strand != return_reverse)
+            if return_reverse:
+                chosen = rev_bases[i]
+                read.bases = chosen
+                read.quals = read.quals[::-1]
+                unique = rev_unique
+            else:
+                chosen = fwd_bases[i]
+                unique = fwd_unique
+
+            # exact traceback on the chosen orientation only
+            fills, max_node, _score = self._fwd_scalar.fill(chosen)
+            gm = self._fwd_scalar.trace_back(fills, max_node, chosen)
+
+            read.graph_pos = gm.position
+            read.graph_alignment_score = gm.score
+            read.is_graph_alignment_unique = unique
+            read.graph_mapq = 60 if unique else 0
+            read.graph_cigar = gm.cigar_string()

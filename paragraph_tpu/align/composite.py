@@ -77,9 +77,19 @@ def align_reads(graph: SequenceGraph, paths, reads: List[Read],
                 path_matching: bool, graph_matching: bool,
                 klib_matching: bool, kmer_matching: bool,
                 validate_alignments: bool = False,
-                threads: int = 1) -> List[Read]:
+                threads: int = 1,
+                engine: str = "batched") -> List[Read]:
     """grm::alignReads (Align.cpp:114-156): align every read and keep only
-    those that end MAPPED. Returns the filtered read buffer."""
+    those that end MAPPED. Returns the filtered read buffer.
+
+    engine="batched" scores all reads in one device fill per orientation
+    (ops/batched_sw.py) and runs the exact traceback host-side;
+    engine="scalar" runs the per-read scalar path. Results are identical.
+    """
+    if engine == "batched" and graph_matching and not (
+            klib_matching or kmer_matching):
+        return _align_reads_batched(graph, paths, reads, filt,
+                                    path_matching)
     aligner = CompositeAligner(path_matching, graph_matching,
                                klib_matching, kmer_matching)
     aligner.set_graph(graph, paths)
@@ -92,3 +102,39 @@ def align_reads(graph: SequenceGraph, paths, reads: List[Read],
         if read.graph_mapping_status == MAPPED:
             kept.append(read)
     return kept
+
+
+def _align_reads_batched(graph: SequenceGraph, paths, reads: List[Read],
+                         filt: Optional[ReadFilter],
+                         path_matching: bool) -> List[Read]:
+    from .batched_aligner import BatchedGraphAligner
+
+    path_aligner = None
+    if path_matching:
+        path_aligner = PathAligner()
+        path_aligner.set_graph(graph)
+
+    needs_graph: List[Read] = []
+    for read in reads:
+        if not read.bases:
+            continue
+        read.graph_mapping_status = UNMAPPED
+        if path_aligner is not None:
+            path_aligner.align_read(read)
+        if read.graph_mapping_status == MAPPED and filt and filt(read):
+            read.graph_mapping_status = BAD_ALIGN
+        if read.graph_mapping_status != MAPPED:
+            needs_graph.append(read)
+
+    batched = BatchedGraphAligner(graph)
+    # only reads still unmapped go to the graph stage (BAD_ALIGN reads get
+    # the same second chance the CompositeAligner gives them)
+    stage2 = [r for r in needs_graph if r.graph_mapping_status != MAPPED]
+    batched.align_reads_batch(stage2)
+    for read in stage2:
+        read.graph_mapping_status = MAPPED
+        if filt and filt(read):
+            read.graph_mapping_status = BAD_ALIGN
+
+    return [r for r in reads
+            if r.bases and r.graph_mapping_status == MAPPED]

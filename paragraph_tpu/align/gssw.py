@@ -416,9 +416,13 @@ class GraphSW:
         return gm
 
     def align(self, read: str) -> Tuple[GraphMapping, bool]:
-        """Fill + traceback + uniqueness; returns (mapping, multi_node_end)."""
+        """Fill + traceback + uniqueness; returns (mapping, multi_node_end).
+
+        NB alignsEndAtMultNodes runs unconditionally in the reference
+        (GraphAligner.cpp:226), so a zero-score fill reports multi=True
+        (every all-zero cell "attains" the top score of 0).
+        """
         fills, max_node, max_score = self.fill(read)
-        multi = self.ends_at_multiple_nodes(fills, max_score) \
-            if max_score > 0 else False
+        multi = self.ends_at_multiple_nodes(fills, max_score)
         gm = self.trace_back(fills, max_node, read)
         return gm, multi
