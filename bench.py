@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Benchmark: graph Smith-Waterman fill throughput (cells/s) on device.
+
+Measures the batched TPU fill on a realistic SV graph against the original
+gssw C library (compiled from the read-only reference at
+/root/reference/external/gssw) running single-threaded on the host CPU —
+the same single-core baseline BASELINE.md's ≥100× target refers to.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_case(read_len=150, n_reads=4096, seed=7):
+    from paragraph_tpu.graph.model import SequenceGraph
+
+    rng = np.random.RandomState(seed)
+    bases = "ACGT"
+
+    def seq(n):
+        return "".join(bases[i] for i in rng.randint(0, 4, n))
+
+    # shortdeletion-style graph with source/sink (the dominant production
+    # shape: 2 flanks + deleted interval, ~600 graph bases)
+    g = SequenceGraph(
+        ["source", "LF", "MID", "RF", "sink"],
+        ["X", seq(150), seq(300), seq(150), "X"])
+    for f, t in [(0, 1), (1, 2), (1, 3), (2, 3), (3, 4)]:
+        g.add_edge(f, t)
+
+    ref = g.node_seq(1) + g.node_seq(2) + g.node_seq(3)
+    alt = g.node_seq(1) + g.node_seq(3)
+    reads = []
+    for i in range(n_reads):
+        src = ref if i % 2 == 0 else alt
+        start = rng.randint(0, len(src) - read_len)
+        read = list(src[start:start + read_len])
+        for j in range(len(read)):
+            if rng.random_sample() < 0.01:
+                read[j] = bases[rng.randint(0, 4)]
+        reads.append("".join(read))
+    return g, reads
+
+
+def bench_device(g, reads, repeats=3):
+    import jax
+
+    from paragraph_tpu.align.graph_aligner import reverse_complement
+    from paragraph_tpu.ops.batched_sw import BatchedGraphSW
+
+    fwd = BatchedGraphSW(g)
+    rev = BatchedGraphSW(g.reversed())
+    n = len(reads)
+    revcomp = [reverse_complement(r) for r in reads]
+    fwd_batch = reads + revcomp
+    rev_batch = [r[::-1] for r in fwd_batch]
+
+    def run():
+        a = fwd.score(fwd_batch)
+        b = rev.score(rev_batch)
+        return a, b
+
+    run()  # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = run()
+    elapsed = (time.perf_counter() - t0) / repeats
+
+    L = len(fwd.arrays.ref_codes)
+    m = ((max(len(r) for r in reads) + 31) // 32) * 32
+    cells = 2 * len(fwd_batch) * L * m  # 2 graphs x (fwd+rev reads)
+    return cells / elapsed, elapsed
+
+
+def bench_reference_cpu(g, reads, max_reads=128):
+    """Single-core gssw baseline (4 fills per read like GraphAligner)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    try:
+        from gssw_oracle import GsswRef
+    except Exception:
+        return None
+    try:
+        ref_lib = GsswRef()
+    except Exception:
+        return None
+
+    from paragraph_tpu.align.graph_aligner import reverse_complement
+
+    node_seqs = [g.node_seq(i) for i in range(g.num_nodes)]
+    edges = g.edges()
+    rg = g.reversed()
+    rnode_seqs = [rg.node_seq(i) for i in range(rg.num_nodes)]
+    redges = rg.edges()
+
+    sample = reads[:max_reads]
+    t0 = time.perf_counter()
+    for r in sample:
+        rc = reverse_complement(r)
+        ref_lib.align(node_seqs, edges, r)
+        ref_lib.align(node_seqs, edges, rc)
+        ref_lib.align(rnode_seqs, redges, r[::-1])
+        ref_lib.align(rnode_seqs, redges, rc[::-1])
+    elapsed = time.perf_counter() - t0
+
+    L = sum(len(s) for s in node_seqs)
+    cells = sum(4 * L * ((len(r) + 15) // 16) * 16 for r in sample)
+    return cells / elapsed
+
+
+def main():
+    g, reads = build_case()
+    device_cells_per_s, elapsed = bench_device(g, reads)
+    baseline = bench_reference_cpu(g, reads)
+    vs = (device_cells_per_s / baseline) if baseline else 0.0
+    print(json.dumps({
+        "metric": "graph_sw_cells_per_second",
+        "value": round(device_cells_per_s, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Vectorized genotyping likelihoods in JAX.
+
+TPU-scale counterpart of the scalar parity engine in
+``breakpoint_genotyper.py``: Poisson genotype likelihoods evaluated for
+whole (events × samples × breakpoints) batches at once, suitable for
+pod-sharded population runs (SURVEY.md §2.3). The scalar float64 engine
+remains the bit-parity path; this one trades double-precision boost
+semantics for throughput.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from .parameters import make_possible_genotypes
+
+
+def genotype_tables(ploidy: int, num_alleles: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Return (gt_matrix[G, A] allele copy counts, gts list)."""
+    gts = make_possible_genotypes(ploidy, num_alleles)
+    mat = np.zeros((len(gts), num_alleles), dtype=np.int32)
+    for i, gv in enumerate(gts):
+        for g in gv:
+            mat[i, g] += 1
+    return mat, gts
+
+
+def _log_poisson_pmf(k, mean):
+    mean = jnp.maximum(mean, 1e-30)
+    return k * jnp.log(mean) - mean - gammaln(k + 1.0)
+
+
+@partial(jax.jit, static_argnames=("min_overlap",))
+def batched_genotype_likelihoods(counts, depth, read_length, gt_ploidy,
+                                 error_rates, het_fractions, log_priors,
+                                 min_overlap: int = 16):
+    """Genotype likelihoods for a batch.
+
+    counts:        [..., A] int32 per-allele read counts
+    depth:         [...] expected depth per item
+    read_length:   [...] read length per item
+    gt_ploidy:     [G, A] allele copy numbers per candidate genotype
+    error_rates:   [A] per-allele error rates (ε)
+    het_fractions: [A] per-allele haplotype fractions (μ)
+    log_priors:    [G] log genotype priors
+
+    Returns (gl[..., G], best_gt[...], gq[...]); mirrors
+    BreakpointGenotyper::genotype (BreakpointGenotyper.cpp:86-151).
+    """
+    lam = depth * (read_length - min_overlap) / read_length  # [...]
+    present = gt_ploidy > 0  # [G, A]
+    rate = jnp.where(present, gt_ploidy * het_fractions, error_rates)
+    mean = lam[..., None, None] * rate  # [..., G, A]
+    lp = _log_poisson_pmf(counts[..., None, :].astype(jnp.float32), mean)
+    gl = log_priors + jnp.sum(lp, axis=-1)  # [..., G]
+
+    best = jnp.argmax(gl, axis=-1)
+    best_gl = jnp.max(gl, axis=-1)
+    # GQ = -10 log10(1 - exp(best)/sum(exp)) with the same caps as the
+    # reference (log-sum-exp stabilised)
+    lse = jax.scipy.special.logsumexp(gl, axis=-1)
+    pr_err = -jnp.expm1(best_gl - lse)
+    gq = jnp.where(
+        pr_err <= 0, 100.0,
+        jnp.minimum(-10.0 * jnp.log10(jnp.maximum(pr_err, 1e-300)), 100.0))
+    return gl, best, gq
+
+
+def make_model_inputs(allele_names: Sequence[str], ploidy: int = 2,
+                      error_rate: float = 0.05, het_fraction: float = 0.5):
+    """Convenience constructor for the default model parameters."""
+    a = len(allele_names)
+    gt_ploidy, gts = genotype_tables(ploidy, a)
+    return {
+        "gt_ploidy": jnp.asarray(gt_ploidy, jnp.float32),
+        "error_rates": jnp.full((a,), error_rate, jnp.float32),
+        "het_fractions": jnp.full((a,), het_fraction, jnp.float32),
+        "log_priors": jnp.zeros((gt_ploidy.shape[0],), jnp.float32),
+        "gts": gts,
+    }

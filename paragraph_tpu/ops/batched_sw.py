@@ -61,29 +61,66 @@ class GraphArrays:
     num_nodes: int
 
     @classmethod
-    def build(cls, graph: SequenceGraph) -> "GraphArrays":
+    def build(cls, graph: SequenceGraph, bucket: bool = True
+              ) -> "GraphArrays":
+        """Build device arrays; with bucket=True, pad columns/nodes/preds
+        to standard sizes so XLA compiles are shared across graphs.
+
+        Padding appends disconnected fake nodes whose columns score 0
+        against everything; they cannot affect scores, end cells, or (for
+        nonzero alignments) the uniqueness count.
+        """
         codes = []
         col_node = []
         col_in_node = []
         is_start = []
         is_last = []
-        n = graph.num_nodes
+        n_real = graph.num_nodes
         max_pred = max(
-            (len(graph.predecessors(i)) for i in range(n)), default=1)
+            (len(graph.predecessors(i)) for i in range(n_real)), default=1)
         max_pred = max(max_pred, 1)
-        pred_table = np.full((n, max_pred), n, dtype=np.int32)
-        for nid in range(n):
+        for nid in range(n_real):
             seq = graph.node_seq(nid).upper()
             if not seq:
                 raise ValueError(f"empty node sequence for node {nid}")
-            for p_i, p in enumerate(graph.predecessors(nid)):
-                pred_table[nid, p_i] = p
             for off, ch in enumerate(seq):
                 codes.append(_NT[ord(ch)])
                 col_node.append(nid)
                 col_in_node.append(off)
                 is_start.append(off == 0)
                 is_last.append(off == len(seq) - 1)
+        l_real = len(codes)
+
+        if bucket:
+            n_bucket = -((n_real + 1) // -4) * 4
+            n_fake = n_bucket - n_real
+            p_bucket = -(max_pred // -2) * 2
+            l_bucket = -((l_real + n_fake) // -64) * 64
+        else:
+            n_bucket = n_real
+            n_fake = 0
+            p_bucket = max_pred
+            l_bucket = l_real
+
+        pred_table = np.full((n_bucket, p_bucket), n_bucket, dtype=np.int32)
+        for nid in range(n_real):
+            for p_i, p in enumerate(graph.predecessors(nid)):
+                pred_table[nid, p_i] = p
+
+        # fake filler nodes: first n_fake-1 are single columns, the last
+        # absorbs the remaining padding
+        if n_fake:
+            pad_cols = l_bucket - l_real
+            sizes = [1] * (n_fake - 1) + [pad_cols - (n_fake - 1)]
+            for k, size in enumerate(sizes):
+                nid = n_real + k
+                for off in range(size):
+                    codes.append(4)  # 'N' class, score 0 vs everything
+                    col_node.append(nid)
+                    col_in_node.append(off)
+                    is_start.append(off == 0)
+                    is_last.append(off == size - 1)
+
         return cls(
             ref_codes=np.asarray(codes, dtype=np.int32),
             col_node=np.asarray(col_node, dtype=np.int32),
@@ -91,7 +128,7 @@ class GraphArrays:
             is_start=np.asarray(is_start, dtype=bool),
             is_last=np.asarray(is_last, dtype=bool),
             pred_table=pred_table,
-            num_nodes=n,
+            num_nodes=n_bucket,
         )
 
 
@@ -244,7 +281,19 @@ class BatchedGraphSW:
 
     def score(self, reads: List[str], pad_to: int = 0):
         """Score a batch of reads; returns numpy arrays
-        (score, end_node, end_ref, end_read, multi)."""
+        (score, end_node, end_ref, end_read, multi).
+
+        The batch is padded to a power-of-two size (dummy 1-base reads)
+        and the read axis to a multiple of 32 so XLA compiles are reused
+        across calls.
+        """
+        n_real = len(reads)
+        b_bucket = 8
+        while b_bucket < n_real:
+            b_bucket *= 2
+        reads = list(reads) + ["A"] * (b_bucket - n_real)
+        max_len = max(len(r) for r in reads)
+        pad_to = max(pad_to, -(max_len // -32) * 32)
         codes, lens, vlens = encode_reads(reads, pad_to)
         a = self.arrays
         out = _batched_fill(
@@ -255,4 +304,4 @@ class BatchedGraphSW:
             num_nodes=a.num_nodes, gap_open=self.gap_open,
             gap_extend=self.gap_extend, match=self.match,
             mismatch=self.mismatch)
-        return tuple(np.asarray(x) for x in out[:5])
+        return tuple(np.asarray(x)[:n_real] for x in out[:5])
