@@ -1,0 +1,116 @@
+"""ctypes binding for the native C++ graph-SW engine (native/graph_sw.cpp).
+
+Builds the shared library on first use (make -C native); falls back
+gracefully when no compiler is available. The native engine provides
+C-speed fill+traceback for CIGAR production of kept reads while the TPU
+batched scorer handles orientation ranking.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+from ..graph.model import SequenceGraph
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libparagraph_sw.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_lib_failed = False
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if _lib_failed:
+            return None
+        try:
+            if not os.path.exists(_LIB_PATH) or (
+                    os.path.getmtime(_LIB_PATH) < os.path.getmtime(
+                        os.path.join(_NATIVE_DIR, "graph_sw.cpp"))):
+                subprocess.run(["make", "-C", _NATIVE_DIR],
+                               check=True, capture_output=True)
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.gsw_create.restype = ctypes.c_void_p
+            lib.gsw_create.argtypes = [
+                ctypes.c_int, ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.gsw_destroy.argtypes = [ctypes.c_void_p]
+            lib.gsw_align.restype = ctypes.c_int
+            lib.gsw_align.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_int]
+            lib.gsw_score.restype = ctypes.c_int
+            lib.gsw_score.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            _lib = lib
+            return _lib
+        except (OSError, subprocess.CalledProcessError):
+            _lib_failed = True
+            return None
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+class NativeGraphSW:
+    """C-speed fill + traceback over one SequenceGraph orientation."""
+
+    def __init__(self, graph: SequenceGraph):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native graph SW library unavailable")
+        self._lib = lib
+        n = graph.num_nodes
+        seqs = (ctypes.c_char_p * n)(
+            *[graph.node_seq(i).encode() for i in range(n)])
+        offsets = [0]
+        preds = []
+        for i in range(n):
+            preds.extend(graph.predecessors(i))
+            offsets.append(len(preds))
+        off_arr = (ctypes.c_int * (n + 1))(*offsets)
+        pred_arr = (ctypes.c_int * max(1, len(preds)))(*(preds or [0]))
+        self._ctx = lib.gsw_create(n, seqs, off_arr, pred_arr)
+        self._buf = ctypes.create_string_buffer(1 << 16)
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        ctx = getattr(self, "_ctx", None)
+        if lib is not None and ctx:
+            lib.gsw_destroy(ctx)
+            self._ctx = None
+
+    def align(self, read: str):
+        """Returns (score, position, multi, cigar_string)."""
+        score = ctypes.c_int()
+        position = ctypes.c_int()
+        multi = ctypes.c_int()
+        rb = read.encode()
+        ret = self._lib.gsw_align(
+            self._ctx, rb, len(rb), ctypes.byref(score),
+            ctypes.byref(position), ctypes.byref(multi), self._buf,
+            len(self._buf))
+        if ret != 0:
+            raise RuntimeError("native alignment failed (cigar overflow?)")
+        return (score.value, position.value, bool(multi.value),
+                self._buf.value.decode())
+
+    def score(self, read: str):
+        score = ctypes.c_int()
+        multi = ctypes.c_int()
+        rb = read.encode()
+        self._lib.gsw_score(self._ctx, rb, len(rb), ctypes.byref(score),
+                            ctypes.byref(multi))
+        return score.value, bool(multi.value)

@@ -1,0 +1,61 @@
+"""Native C++ engine vs the exact Python oracle (and hence vs gssw)."""
+import random
+
+import pytest
+
+from paragraph_tpu.align.gssw import GraphSW
+from paragraph_tpu.align.native import NativeGraphSW, native_available
+from paragraph_tpu.graph.model import SequenceGraph
+
+from test_gssw_vs_reference import _random_graph, _read_from_graph
+
+
+@pytest.fixture(scope="module", autouse=True)
+def require_native():
+    if not native_available():
+        pytest.skip("native library could not be built")
+
+
+def _make_graph(seqs, edges):
+    g = SequenceGraph([f"n{i}" for i in range(len(seqs))], seqs)
+    for f, t in edges:
+        g.add_edge(f, t)
+    return g
+
+
+def _check(g, reads):
+    py = GraphSW(g)
+    nat = NativeGraphSW(g)
+    for read in reads:
+        fills, max_node, max_score = py.fill(read)
+        gm = py.trace_back(fills, max_node, read)
+        multi = py.ends_at_multiple_nodes(fills, max_score)
+        n_score, n_pos, n_multi, n_cigar = nat.align(read)
+        assert n_score == max_score, read
+        assert n_pos == gm.position, read
+        assert n_multi == multi, read
+        assert n_cigar == gm.cigar_string(), (read, n_cigar,
+                                              gm.cigar_string())
+
+
+def test_native_simple():
+    g = _make_graph(["AAAATTTT", "CCCC", "GGGGAAAA"],
+                    [(0, 1), (0, 2), (1, 2)])
+    _check(g, ["TTTTCCCCGGGG", "AAAATTTTGGGG", "CCCCGGGG", "TTTT",
+               "GGGGGGGG", "ACGT"])
+
+
+def test_native_random():
+    rng = random.Random(2024)
+    for case in range(60):
+        seqs, edges = _random_graph(rng, max_nodes=6, max_len=40)
+        g = _make_graph(seqs, edges)
+        reads = []
+        for _ in range(5):
+            r = _read_from_graph(rng, seqs, edges,
+                                 read_len=rng.randint(10, 60),
+                                 mutate=0.08, indel=0.04)
+            if r:
+                reads.append(r)
+        if reads:
+            _check(g, reads)
