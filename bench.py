@@ -52,11 +52,26 @@ def build_case(read_len=150, n_reads=4096, seed=7):
 def bench_device(g, reads, repeats=3):
     import jax
 
-    from paragraph_tpu.align.graph_aligner import reverse_complement
-    from paragraph_tpu.ops.batched_sw import BatchedGraphSW
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    fwd = BatchedGraphSW(g)
-    rev = BatchedGraphSW(g.reversed())
+    from paragraph_tpu.align.graph_aligner import reverse_complement
+
+    # Pallas kernel on TPU; scan fallback elsewhere
+    try:
+        from paragraph_tpu.ops.pallas_sw import PallasGraphSW
+
+        if jax.devices()[0].platform == "cpu":
+            raise RuntimeError("no TPU")
+        fwd = PallasGraphSW(g)
+        rev = PallasGraphSW(g.reversed())
+    except Exception:
+        from paragraph_tpu.ops.batched_sw import BatchedGraphSW
+
+        fwd = BatchedGraphSW(g)
+        rev = BatchedGraphSW(g.reversed())
     n = len(reads)
     revcomp = [reverse_complement(r) for r in reads]
     fwd_batch = reads + revcomp
