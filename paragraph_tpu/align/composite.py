@@ -43,9 +43,16 @@ class CompositeAligner:
             self.path_aligner.set_graph(graph)
         if self.graph_matching:
             self.graph_aligner = GraphAligner(graph)
-        if self.klib_matching or self.kmer_matching:
-            raise NotImplementedError(
-                "klib/kmer aligners are not implemented yet")
+        if self.kmer_matching:
+            from .kmer_aligner import KmerAligner
+
+            self.kmer_aligner = KmerAligner()
+            self.kmer_aligner.set_graph(graph, paths)
+        if self.klib_matching:
+            from .klib_aligner import KlibAligner
+
+            self.klib_aligner = KlibAligner()
+            self.klib_aligner.set_graph(graph, paths)
 
     def align_read(self, read: Read, filt: Optional[ReadFilter] = None):
         """CompositeAligner::alignRead (CompositeAligner.cpp:78-176)."""
@@ -61,6 +68,26 @@ class CompositeAligner:
             if not (self.kmer_matching or self.klib_matching
                     or self.graph_matching):
                 self.filtered += 1
+
+        if read.graph_mapping_status != MAPPED and self.kmer_matching:
+            self.kmer_aligner.align_read(read)
+            if read.graph_mapping_status == MAPPED:
+                if filt and filt(read):
+                    read.graph_mapping_status = BAD_ALIGN
+                    if not (self.klib_matching or self.graph_matching):
+                        self.filtered += 1
+                else:
+                    self.mapped_kmers += 1
+
+        if read.graph_mapping_status != MAPPED and self.klib_matching:
+            self.klib_aligner.align_read(read)
+            if read.graph_mapping_status == MAPPED:
+                if filt and filt(read):
+                    read.graph_mapping_status = BAD_ALIGN
+                    if not self.graph_matching:
+                        self.filtered += 1
+                else:
+                    self.mapped_klib += 1
 
         if read.graph_mapping_status != MAPPED and self.graph_matching:
             self.graph_aligner.align_read(read)
