@@ -86,8 +86,16 @@ def report_consensus_genotypes(genotypes: GenotypeSet,
                 gls[key] = (sorted_name, gl)
             else:
                 gls[key] = (gls[key][0], max(gls[key][1], gl))
+    # C++ divides by zero here when no reads were counted (NaN/Inf floats)
+    def _div(af, n):
+        if n:
+            return af / n
+        import math
+
+        return float("nan") if af == 0 else math.copysign(math.inf, af)
+
     result.allele_fractions = [
-        af / result.num_reads for af in result.allele_fractions]
+        _div(af, result.num_reads) for af in result.allele_fractions]
     for key in gls:
         name, gl = gls[key]
         result.gl.append(gl)
