@@ -316,6 +316,15 @@ def cmd_paragraph2dot(argv):
     return 0
 
 
+def _tool(name):
+    def run(argv):
+        from . import tools
+
+        return getattr(tools, name)(argv)
+
+    return run
+
+
 _COMMANDS = {
     "multigrmpy": cmd_multigrmpy,
     "grmpy": cmd_grmpy,
@@ -325,6 +334,11 @@ _COMMANDS = {
     "graph-to-fasta": cmd_graph_to_fasta,
     "kmerstats": cmd_kmerstats,
     "paragraph2dot": cmd_paragraph2dot,
+    "multiparagraph": _tool("cmd_multiparagraph"),
+    "addVariants": _tool("cmd_add_variants"),
+    "grmpy-vcf-merge": _tool("cmd_grmpy_vcf_merge"),
+    "msa2vcf": _tool("cmd_msa2vcf"),
+    "compare-alignments": _tool("cmd_compare_alignments"),
 }
 
 

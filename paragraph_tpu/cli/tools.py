@@ -1,0 +1,297 @@
+"""Secondary tools: multiparagraph, addVariants, grmpy-vcf-merge, msa2vcf,
+compare-alignments.
+
+Equivalents of the reference's src/python/bin helpers (SURVEY.md §2.2).
+"""
+from __future__ import annotations
+
+import argparse
+import difflib
+import gzip
+import json
+import sys
+from collections import defaultdict
+from pprint import pformat
+
+
+def _load_json(path):
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# addVariants (bin/addVariants.py + vcfgraph/variants.py)
+# ---------------------------------------------------------------------------
+
+def split_node(graph, node, breakpoints):
+    """variants.py:48-89 — split a node at breakpoints, relink edges."""
+    if not breakpoints:
+        return [node]
+    breakpoints = sorted(set(breakpoints))
+    nodes = []
+    l_end = 0
+    for p in breakpoints:
+        assert 0 <= p <= node["end"] - node["start"] + 1
+        n_start = node["start"] + l_end
+        n_end = node["start"] + p - 1
+        if "reference" in node:
+            nodes.append(graph.add_ref_node(
+                node["chrom"], n_start, n_end, node["sequences"]))
+        else:
+            seq = node["sequence"][l_end:p]
+            nodes.append(graph.add_alt_node(
+                node["chrom"], n_start, n_end, seq, node["sequences"]))
+        l_end = p
+    l_start = node["start"] + breakpoints[-1]
+    if "reference" in node:
+        nodes.append(graph.add_ref_node(
+            node["chrom"], l_start, node["end"], node["sequences"]))
+    else:
+        seq = node["sequence"][breakpoints[-1]:]
+        nodes.append(graph.add_alt_node(
+            node["chrom"], l_start, node["end"], seq, node["sequences"]))
+    for e in list(graph.in_edges(node)):
+        graph.add_edge(graph.nodes[e["from"]], nodes[0], e["sequences"])
+    for e in list(graph.out_edges(node)):
+        graph.add_edge(nodes[-1], graph.nodes[e["to"]], e["sequences"])
+    for n1, n2 in zip(nodes[:-1], nodes[1:]):
+        graph.add_edge(n1, n2)
+    if node["name"] not in [n["name"] for n in nodes]:
+        graph.del_node(node)
+    return nodes
+
+
+def add_variants_node(graph, node, variants):
+    """variants.py:92-108."""
+    bps = []
+    for start, end, alt in variants:
+        if start > end + 1:
+            raise ValueError("Variant start > end")
+        if start == end + 1 and not alt:
+            raise ValueError("Insertion without sequence")
+        bps.extend((start, end + 1))
+    nodes = split_node(graph, node, bps)
+    nodes_ending = {n["end"]: n for n in nodes[:-1]}
+    nodes_starting = {n["start"]: n for n in nodes}
+    for start, end, alt in variants:
+        v_start = node["start"] + start
+        v_end = node["start"] + end
+        alt_node = graph.add_alt_node(node["chrom"], v_start, v_end, alt)
+        graph.add_edge(nodes_ending[v_start - 1], alt_node)
+        graph.add_edge(alt_node, nodes_starting[v_end + 1])
+
+
+def add_variants(graph, var_dict):
+    """variants.py:27-45."""
+    for node_name, node_var_dicts in var_dict.items():
+        node_vars = []
+        for vd in node_var_dicts:
+            node_vars.append((vd.get("start", 0), vd.get("end", 0),
+                              vd.get("alt", "")))
+        try:
+            add_variants_node(graph, graph.nodes[node_name], node_vars)
+        except Exception as e:  # noqa: BLE001 — mirror reference behaviour
+            print(f"Skipping variant records on node {node_name}: {e}",
+                  file=sys.stderr)
+
+
+def cmd_add_variants(argv):
+    from ..graph.build import load_json as load_graph_json
+    from ..graph.build import remove_empty_nodes
+
+    p = argparse.ArgumentParser("addVariants")
+    p.add_argument("graph")
+    p.add_argument("output")
+    p.add_argument("--variants", default=None)
+    args = p.parse_args(argv)
+    graph_dict = _load_json(args.graph)
+    graph = load_graph_json(graph_dict)
+    if args.variants:
+        var_json = _load_json(args.variants)
+        if "variants" not in var_json:
+            raise ValueError("No variants in variant JSON")
+        var_dict = var_json["variants"]
+    else:
+        var_dict = graph_dict.get("variants", {})
+    add_variants(graph, var_dict)
+    remove_empty_nodes(graph)
+    with open(args.output, "w") as f:
+        json.dump(graph.json_dict(), f, sort_keys=True)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# multiparagraph (bin/multiparagraph.py): per-event paragraph runs + merge
+# ---------------------------------------------------------------------------
+
+def cmd_multiparagraph(argv):
+    from ..io.bam import BamReader
+    from ..pipeline.paragraph import Parameters, align_and_disambiguate
+    from ..reads.extraction import extract_reads
+
+    p = argparse.ArgumentParser("multiparagraph")
+    p.add_argument("-b", "--bam", required=True)
+    p.add_argument("-i", "--input", required=True,
+                   help="JSON file with a list of graph descriptions")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-M", "--max-reads", type=int, default=10000)
+    args = p.parse_args(argv)
+
+    events = _load_json(args.input)
+    if isinstance(events, dict):
+        events = [events]
+    reader = BamReader(args.bam, "", args.reference)
+    results = []
+    for event in events:
+        desc = event.get("graph", event)
+        parameters = Parameters(max_reads=args.max_reads)
+        parameters.load(desc, args.reference)
+        reads = extract_reads(reader, parameters.target_regions,
+                              parameters.max_reads,
+                              parameters.longest_alt_insertion)
+        out = align_and_disambiguate(parameters, reads)
+        out["bam"] = args.bam
+        results.append(out)
+    opener = gzip.open if args.output.endswith(".gz") else open
+    with opener(args.output, "wt") as f:
+        json.dump(results, f, sort_keys=True, indent=2)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# grmpy-vcf-merge (bin/grmpy-vcf-merge.py): merge per-sample genotype VCFs
+# ---------------------------------------------------------------------------
+
+def cmd_grmpy_vcf_merge(argv):
+    from ..io.vcf import VcfReader, VcfWriter
+
+    p = argparse.ArgumentParser("grmpy-vcf-merge")
+    p.add_argument("-i", "--input", nargs="+", required=True,
+                   help="per-sample genotypes VCFs")
+    p.add_argument("-o", "--output", required=True)
+    args = p.parse_args(argv)
+
+    readers = [VcfReader(path) for path in args.input]
+    all_samples = []
+    for r in readers:
+        for s in r.samples:
+            if s not in all_samples:
+                all_samples.append(s)
+    writer = VcfWriter(args.output, readers[0].header_lines, all_samples)
+    iters = [iter(r) for r in readers]
+    rows = [next(i, None) for i in iters]
+    while any(r is not None for r in rows):
+        keys = [(r.chrom, r.pos, r.ref, r.alts) for r in rows
+                if r is not None]
+        key = min(keys, key=lambda k: (k[0], k[1]))
+        merged = None
+        for idx, r in enumerate(rows):
+            if r is not None and (r.chrom, r.pos, r.ref, r.alts) == key:
+                if merged is None:
+                    merged = r
+                else:
+                    merged.sample_values.update(r.sample_values)
+                rows[idx] = next(iters[idx], None)
+        for s in all_samples:
+            merged.sample_values.setdefault(
+                s, {k: "." for k in merged.fmt_keys})
+        writer.write(merged)
+    writer.close()
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# msa2vcf (bin/msa2vcf.py + lib msa.py): multiple alignment → VCF records
+# ---------------------------------------------------------------------------
+
+def msa_to_records(ref_name, sequences, chrom="msa", offset=1):
+    """Derive VCF-style records from an MSA dict {name: aligned_seq} where
+    `ref_name` selects the reference row ('-' = gap)."""
+    ref_aln = sequences[ref_name]
+    records = []
+    ref_pos = offset - 1
+    col = 0
+    n_cols = len(ref_aln)
+    while col < n_cols:
+        ref_base = ref_aln[col]
+        for name, aln in sequences.items():
+            if name == ref_name:
+                continue
+            alt_base = aln[col]
+            if ref_base == alt_base:
+                continue
+            if ref_base != "-" and alt_base != "-":
+                records.append((chrom, ref_pos + 1, ref_base, alt_base,
+                                name))
+            elif ref_base == "-" and alt_base != "-":
+                records.append((chrom, max(1, ref_pos), "", alt_base, name))
+            elif ref_base != "-" and alt_base == "-":
+                records.append((chrom, ref_pos + 1, ref_base, "", name))
+        if ref_base != "-":
+            ref_pos += 1
+        col += 1
+    return records
+
+
+def cmd_msa2vcf(argv):
+    p = argparse.ArgumentParser("msa2vcf")
+    p.add_argument("input", help="MSA FASTA (aligned, with '-' gaps)")
+    p.add_argument("output")
+    p.add_argument("--ref-name", default=None)
+    p.add_argument("--chrom", default="msa")
+    args = p.parse_args(argv)
+    seqs = {}
+    name = None
+    with open(args.input) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                name = line[1:].split()[0]
+                seqs[name] = ""
+            elif name:
+                seqs[name] += line
+    ref_name = args.ref_name or next(iter(seqs))
+    records = msa_to_records(ref_name, seqs, args.chrom)
+    with open(args.output, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={args.chrom}>\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for chrom, pos, ref, alt, name in records:
+            f.write(f"{chrom}\t{pos}\t{name}\t{ref or '.'}\t"
+                    f"{alt or '.'}\t.\t.\t.\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# compare-alignments (bin/compare-alignments.py)
+# ---------------------------------------------------------------------------
+
+def cmd_compare_alignments(argv):
+    p = argparse.ArgumentParser("compare-alignments")
+    p.add_argument("json1")
+    p.add_argument("json2")
+    args = p.parse_args(argv)
+    data1 = _load_json(args.json1)
+    data2 = _load_json(args.json2)
+
+    by_id = defaultdict(lambda: {"data1": [], "data2": []})
+    for key, data in (("data1", data1), ("data2", data2)):
+        for aln in data.get("alignments", []):
+            alid = (aln.get("fragmentId", "") + "-mapped-to-"
+                    + f"{aln.get('chromId', 0)}:{aln.get('pos', 0)}")
+            by_id[alid][key].append(aln)
+    for k, pair in by_id.items():
+        if len(pair["data1"]) != len(pair["data2"]):
+            print(f"[COUNT] Alignment with different counts: {k} / "
+                  f"{len(pair['data1'])} != {len(pair['data2'])}")
+            continue
+        d1 = pformat(pair["data1"])
+        d2 = pformat(pair["data2"])
+        if d1 != d2:
+            print(f"[DIFF] Difference detected for {k}:")
+            for line in difflib.Differ().compare(
+                    d1.splitlines(), d2.splitlines()):
+                print("[DETAILS] " + line)
+    return 0
