@@ -23,6 +23,7 @@ class BatchedGraphAligner:
         self._fwd_scorer: Optional[BatchedGraphSW] = None
         self._rev_scorer: Optional[BatchedGraphSW] = None
         self._fwd_scalar: Optional[GraphSW] = None
+        self._fwd_native = None
         if graph is not None:
             self.set_graph(graph)
 
@@ -30,6 +31,24 @@ class BatchedGraphAligner:
         self._fwd_scorer = BatchedGraphSW(graph)
         self._rev_scorer = BatchedGraphSW(graph.reversed())
         self._fwd_scalar = GraphSW(graph)
+        # C-speed traceback for kept reads when the native lib builds
+        try:
+            from .native import NativeGraphSW, native_available
+
+            if native_available():
+                self._fwd_native = NativeGraphSW(graph)
+        except Exception:
+            self._fwd_native = None
+
+    def _trace(self, chosen: str):
+        """Exact fill+traceback of the chosen orientation: native C++ when
+        available, Python oracle otherwise. Returns (score, pos, cigar)."""
+        if self._fwd_native is not None:
+            score, pos, _multi, cigar = self._fwd_native.align(chosen)
+            return score, pos, cigar
+        fills, max_node, _score = self._fwd_scalar.fill(chosen)
+        gm = self._fwd_scalar.trace_back(fills, max_node, chosen)
+        return gm.score, gm.position, gm.cigar_string()
 
     def align_reads_batch(self, reads: List[Read]) -> None:
         """Batch equivalent of calling GraphAligner::alignRead per read
@@ -75,11 +94,10 @@ class BatchedGraphAligner:
                 unique = fwd_unique
 
             # exact traceback on the chosen orientation only
-            fills, max_node, _score = self._fwd_scalar.fill(chosen)
-            gm = self._fwd_scalar.trace_back(fills, max_node, chosen)
+            score, pos, cigar = self._trace(chosen)
 
-            read.graph_pos = gm.position
-            read.graph_alignment_score = gm.score
+            read.graph_pos = pos
+            read.graph_alignment_score = score
             read.is_graph_alignment_unique = unique
             read.graph_mapq = 60 if unique else 0
-            read.graph_cigar = gm.cigar_string()
+            read.graph_cigar = cigar

@@ -1,0 +1,35 @@
+"""Blackbox grmpy test on the reference's chrX 2-sample data.
+
+Port of test-blackbox/test_grm.cpp: male (haploid) + female (diploid)
+genotyping on the chrX swap graph must call REF / REF,REF.
+"""
+import json
+import os
+
+import pytest
+
+from paragraph_tpu.genotyping.sample_info import load_manifest
+from paragraph_tpu.io.bam import BamReader
+from paragraph_tpu.pipeline.grmpy import (GrmpyParameters,
+                                          align_single_sample,
+                                          count_and_genotype)
+
+LD = "/root/reference/share/test-data/paragraph/long-del"
+
+
+def test_genotypes_single_swap_chrx(monkeypatch):
+    # the manifest's BAM paths are relative to the reference checkout root
+    monkeypatch.chdir("/root/reference")
+    graph = json.load(open(os.path.join(LD, "chrX_graph_typing.2sample.json")))
+    reference = os.path.join(LD, "chrX_graph_typing.fa")
+    manifest = load_manifest(os.path.join(LD, "chrX_graph_typing.manifest"))
+    gt_params = json.load(open(os.path.join(LD, "param.json")))
+
+    parameters = GrmpyParameters()
+    for sample in manifest:
+        reader = BamReader(sample.filename, sample.index_filename, reference)
+        align_single_sample(parameters, graph, reference, reader, sample)
+
+    result = count_and_genotype(graph, reference, gt_params, manifest)
+    assert result["samples"]["SAMPLE1"]["gt"]["GT"] == "REF"
+    assert result["samples"]["SAMPLE2"]["gt"]["GT"] == "REF/REF"
