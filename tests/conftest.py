@@ -5,8 +5,10 @@ execute without TPU hardware (the real TPU is exercised by bench.py).
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. NB the session environment
+# presets JAX_PLATFORMS=axon (tunneled TPU), so this must be a hard
+# override, not setdefault — tests run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
