@@ -50,6 +50,146 @@ def _shift_down(x, amt, fill):
     return jnp.where(row >= amt, rolled, fill)
 
 
+def _make_kernel_u8(L: int, N: int, P: int, M: int, TB: int,
+                    gap_open: int, gap_extend: int,
+                    match: int, mismatch: int):
+    """uint8 variant: gssw byte-mode arithmetic (biased profile +
+    saturating subtract) on (32,128) int8 tiles — 4× the lanes of the
+    int32 kernel. Exact for reads with max score < 251 (the caller guards
+    read length, mirroring gssw's byte→word promotion threshold).
+
+    The F recurrence uses a max-plus doubling scan with saturating decay:
+      D^(1) = H' ; D^(2s)_j = max(D^(s)_j, D^(s)_{j-s} ⊖ s·gapE)
+      F_j = (D_{j-1} ⊖ gapO) ⊖ ... == max(0, max_{k<j} H'_k − gapO −
+            (j−1−k)·gapE)
+    where ⊖ is saturating subtraction, so every intermediate stays in
+    [0, 255].
+    """
+    log_steps = []
+    s = 1
+    while s < M:
+        log_steps.append(s)
+        s *= 2
+    bias = mismatch  # gssw bias = |min score|
+
+    def satsub(x, c):
+        return jnp.maximum(x, jnp.uint8(c)) - jnp.uint8(c)
+
+    def kernel(ref_codes_ref, col_node_ref, col_in_node_ref, start_ref,
+               last_ref, pred_ref,
+               read_codes_ref, read_lens_ref, read_vlens_ref,
+               score_ref, end_node_ref, end_ref_ref, end_read_ref,
+               multi_ref,
+               prof_ref, h_ref, e_ref, saved_h_ref, saved_e_ref,
+               node_max_ref, cur_max_ref, e_node_ref, e_ref2_ref,
+               e_read_ref):
+        gapO = jnp.uint8(gap_open)
+        gapE = jnp.uint8(gap_extend)
+
+        codes = read_codes_ref[:]  # [M, TB] int32
+        lens = read_lens_ref[:]  # [1, TB] int32
+        vlens = read_vlens_ref[:]
+
+        # biased profile: match -> bias+match, mismatch -> bias-mismatch
+        # (=0), N/pad -> bias+0
+        for c in range(4):
+            prof_ref[c] = jnp.where(
+                codes == c, jnp.uint8(bias + match),
+                jnp.where(codes < 4, jnp.uint8(bias - mismatch),
+                          jnp.uint8(bias))).astype(jnp.uint8)
+        prof_ref[4] = jnp.full((M, TB), bias, jnp.uint8)
+
+        jj32 = jax.lax.broadcasted_iota(jnp.int32, (M, TB), 0)
+        stripe_mask = jj32 < vlens
+        real_mask = jj32 < lens
+
+        h_ref[:] = jnp.zeros((M, TB), jnp.uint8)
+        e_ref[:] = jnp.zeros((M, TB), jnp.uint8)
+        saved_h_ref[:] = jnp.zeros((N + 1, M, TB), jnp.uint8)
+        saved_e_ref[:] = jnp.zeros((N + 1, M, TB), jnp.uint8)
+        node_max_ref[:] = jnp.zeros((N, 1, TB), jnp.int32)
+        cur_max_ref[:] = jnp.zeros((1, TB), jnp.int32)
+        e_node_ref[:] = jnp.zeros((1, TB), jnp.int32)
+        e_ref2_ref[:] = jnp.full((1, TB), -1, jnp.int32)
+        e_read_ref[:] = lens - 1
+
+        def col_body(i, _):
+            ref_c = ref_codes_ref[i]
+            nid = col_node_ref[i]
+            col_off = col_in_node_ref[i]
+            is_start = start_ref[i] != 0
+            is_last = last_ref[i] != 0
+
+            @pl.when(is_start)
+            def _():
+                sh = saved_h_ref[pred_ref[nid, 0]]
+                se = saved_e_ref[pred_ref[nid, 0]]
+                for p in range(1, P):
+                    sh = jnp.maximum(sh, saved_h_ref[pred_ref[nid, p]])
+                    se = jnp.maximum(se, saved_e_ref[pred_ref[nid, p]])
+                h_ref[:] = sh
+                e_ref[:] = se
+
+            prof = prof_ref[ref_c]  # [M, TB] uint8 (biased)
+            h_prev = h_ref[:]
+            e_col = e_ref[:]
+            diag = _shift_down(h_prev, 1, jnp.uint8(0))
+            # H' = max(0, diag + score) = satsub(diag + biased_prof, bias)
+            hp = satsub(diag + prof, bias)
+            hp = jnp.maximum(hp, e_col)
+            # F via saturating max-plus doubling scan
+            d = hp
+            for s_amt in log_steps:
+                d = jnp.maximum(
+                    d, satsub(_shift_down(d, s_amt, jnp.uint8(0)),
+                              s_amt * gap_extend))
+            f = satsub(_shift_down(d, 1, jnp.uint8(0)), gap_open)
+            h = jnp.maximum(hp, f)
+            e_next = jnp.maximum(satsub(e_col, gap_extend),
+                                 satsub(h, gap_open))
+            h_ref[:] = h
+            e_ref[:] = e_next
+
+            @pl.when(is_last)
+            def _():
+                saved_h_ref[nid] = h
+                saved_e_ref[nid] = e_next
+
+            h32 = h.astype(jnp.int32)
+            h_stripe = jnp.where(stripe_mask, h32, 0)
+            h_real = jnp.where(real_mask, h32, 0)
+            col_max = jnp.max(h_stripe, axis=0, keepdims=True)
+            col_max_real = jnp.max(h_real, axis=0, keepdims=True)
+            node_max_ref[nid] = jnp.maximum(node_max_ref[nid], col_max_real)
+
+            upd = col_max > cur_max_ref[:]
+            first_j = jnp.min(
+                jnp.where(jnp.logical_and(h_stripe == col_max, stripe_mask),
+                          jj32, _BIG), axis=0, keepdims=True)
+            cand_read = jnp.minimum(first_j, lens - 1)
+            cur_max_ref[:] = jnp.where(upd, col_max, cur_max_ref[:])
+            e_node_ref[:] = jnp.where(upd, nid, e_node_ref[:])
+            e_ref2_ref[:] = jnp.where(upd, col_off, e_ref2_ref[:])
+            e_read_ref[:] = jnp.where(upd, cand_read, e_read_ref[:])
+            return 0
+
+        jax.lax.fori_loop(0, L, col_body, 0)
+
+        cur_max = cur_max_ref[:]
+        top = jnp.broadcast_to(cur_max, (N, 1, TB))
+        n_top = jnp.sum((node_max_ref[:] == top).astype(jnp.int32), axis=0)
+        zero_fill = cur_max == 0
+        score_ref[:] = cur_max
+        end_node_ref[:] = jnp.where(zero_fill, 0, e_node_ref[:])
+        end_ref_ref[:] = jnp.where(zero_fill, -1, e_ref2_ref[:])
+        end_read_ref[:] = jnp.where(
+            jnp.logical_and(zero_fill, read_lens_ref[:] > 1), 0,
+            e_read_ref[:])
+        multi_ref[:] = (n_top > 1).astype(jnp.int32)
+
+    return kernel
+
+
 def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
                  gap_open: int, gap_extend: int,
                  match: int, mismatch: int):
@@ -172,17 +312,25 @@ def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
 
 @partial(jax.jit,
          static_argnames=("L", "N", "P", "M", "TB", "gap_open",
-                          "gap_extend", "match", "mismatch"))
+                          "gap_extend", "match", "mismatch", "use_u8",
+                          "interpret"))
 def pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
                 pred_table, read_codes_t, read_lens, read_vlens,
                 L: int, N: int, P: int, M: int, TB: int,
                 gap_open: int = 6, gap_extend: int = 1, match: int = 1,
-                mismatch: int = 4):
+                mismatch: int = 4, use_u8: bool = True,
+                interpret: bool = False):
     """read_codes_t: [M, B] int32 (transposed); lens/vlens: [1, B]."""
     B = read_codes_t.shape[1]
     assert B % TB == 0
-    kernel = _make_kernel(L, N, P, M, TB, gap_open, gap_extend, match,
-                          mismatch)
+    if use_u8:
+        kernel = _make_kernel_u8(L, N, P, M, TB, gap_open, gap_extend,
+                                 match, mismatch)
+        state_dt = jnp.uint8
+    else:
+        kernel = _make_kernel(L, N, P, M, TB, gap_open, gap_extend, match,
+                              mismatch)
+        state_dt = jnp.int32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(B // TB,),
@@ -200,11 +348,11 @@ def pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
             for _ in range(5)
         ],
         scratch_shapes=[
-            pltpu.VMEM((5, M, TB), jnp.int32),  # profile
-            pltpu.VMEM((M, TB), jnp.int32),  # H
-            pltpu.VMEM((M, TB), jnp.int32),  # E
-            pltpu.VMEM((N + 1, M, TB), jnp.int32),  # saved H
-            pltpu.VMEM((N + 1, M, TB), jnp.int32),  # saved E
+            pltpu.VMEM((5, M, TB), state_dt),  # profile
+            pltpu.VMEM((M, TB), state_dt),  # H
+            pltpu.VMEM((M, TB), state_dt),  # E
+            pltpu.VMEM((N + 1, M, TB), state_dt),  # saved H
+            pltpu.VMEM((N + 1, M, TB), state_dt),  # saved E
             pltpu.VMEM((N, 1, TB), jnp.int32),  # node max (real lanes)
             pltpu.VMEM((1, TB), jnp.int32),  # cur max
             pltpu.VMEM((1, TB), jnp.int32),  # end node
@@ -217,6 +365,7 @@ def pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        interpret=interpret,
     )(ref_codes, col_node, col_in_node,
       is_start.astype(jnp.int32), is_last.astype(jnp.int32), pred_table,
       read_codes_t, read_lens, read_vlens)
@@ -228,7 +377,8 @@ class PallasGraphSW:
     """Pallas-backed batched scorer (drop-in for BatchedGraphSW.score)."""
 
     def __init__(self, graph, match=1, mismatch=4, gap_open=6,
-                 gap_extend=1, tile_batch: int = DEFAULT_TB):
+                 gap_extend=1, tile_batch: int = DEFAULT_TB,
+                 interpret: bool = False):
         self.graph = graph
         self.arrays = GraphArrays.build(graph)
         self.match = match
@@ -236,6 +386,7 @@ class PallasGraphSW:
         self.gap_open = gap_open
         self.gap_extend = gap_extend
         self.tile_batch = tile_batch
+        self.interpret = interpret
 
     def score(self, reads: List[str], pad_to: int = 0):
         n_real = len(reads)
@@ -248,6 +399,9 @@ class PallasGraphSW:
         pad_to = max(pad_to, -(max_len // -32) * 32)
         codes, lens, vlens = encode_reads(reads, pad_to)
         a = self.arrays
+        # byte mode is exact while max achievable score + bias stays
+        # below 256 (gssw's byte→word promotion threshold)
+        use_u8 = (codes.shape[1] * self.match + self.mismatch) < 255
         out = pallas_fill(
             jnp.asarray(a.ref_codes), jnp.asarray(a.col_node),
             jnp.asarray(a.col_in_node),
@@ -259,5 +413,6 @@ class PallasGraphSW:
             L=len(a.ref_codes), N=a.num_nodes,
             P=a.pred_table.shape[1], M=codes.shape[1], TB=tb,
             gap_open=self.gap_open, gap_extend=self.gap_extend,
-            match=self.match, mismatch=self.mismatch)
+            match=self.match, mismatch=self.mismatch, use_u8=use_u8,
+            interpret=self.interpret)
         return tuple(np.asarray(x)[:n_real] for x in out)
