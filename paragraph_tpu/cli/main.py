@@ -339,6 +339,8 @@ _COMMANDS = {
     "grmpy-vcf-merge": _tool("cmd_grmpy_vcf_merge"),
     "msa2vcf": _tool("cmd_msa2vcf"),
     "compare-alignments": _tool("cmd_compare_alignments"),
+    "pam": _tool("cmd_pam"),
+    "simulate-reads": _tool("cmd_simulate_reads"),
 }
 
 

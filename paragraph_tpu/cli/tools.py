@@ -295,3 +295,106 @@ def cmd_compare_alignments(argv):
                     d1.splitlines(), d2.splitlines()):
                 print("[DETAILS] " + line)
     return 0
+
+
+# ---------------------------------------------------------------------------
+# pam (main/pam.cpp): depth extraction over regions. The reference binary is
+# a parameter-loading skeleton; here it reports per-region read counts and
+# coverage from the BAM.
+# ---------------------------------------------------------------------------
+
+def cmd_pam(argv):
+    from ..io.bam import BamReader
+    from ..io.regions import Region
+
+    p = argparse.ArgumentParser("pam")
+    p.add_argument("-b", "--bam", required=True)
+    p.add_argument("-g", "--depth-spec", required=True,
+                   help="JSON with {'regions': ['chr:start-end', ...]}")
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("-T", "--target-regions", default="")
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-M", "--max-reads-per-event", type=int, default=10000)
+    args = p.parse_args(argv)
+
+    spec = _load_json(args.depth_spec)
+    regions = (args.target_regions.split(",") if args.target_regions
+               else spec.get("regions") or spec.get("target_regions", []))
+    reader = BamReader(args.bam, "", args.reference)
+    out = {"bam": args.bam, "regions": []}
+    for region_str in regions:
+        region = Region.from_string(region_str)
+        tid = reader.contig_map.get(region.chrom)
+        n_reads = 0
+        bases = 0
+        if tid is not None:
+            for rec in reader.fetch(tid, region.start - 1, region.end):
+                n_reads += 1
+                bases += len(rec.bases)
+                if n_reads >= args.max_reads_per_event:
+                    break
+        out["regions"].append({
+            "region": region_str,
+            "reads": n_reads,
+            "depth": bases / region.length if region.length else 0,
+        })
+    sink = sys.stdout if args.output in ("-", "") else open(args.output, "w")
+    json.dump(out, sink, sort_keys=True, indent=2)
+    if sink is not sys.stdout:
+        sink.close()
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# simulate-reads: replacement for the reference's EAGLE-based validation
+# harness (doc/validation-with-simulated-reads.md): sample error-injected
+# reads from each graph path; read names carry the truth path for
+# ValidationAligner's empirical MAPQ accounting.
+# ---------------------------------------------------------------------------
+
+def simulate_reads_from_graph(graph, paths, read_length=100, depth=30,
+                              error_rate=0.005, seed=42):
+    """Yield (name, bases) tuples; name = '<path-id>:<n>' where path-id is
+    the node-id chain joined with '_' (matches ValidationAligner keys)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    bases_alpha = "ACGT"
+    for node_ids in paths:
+        path_id = "_".join(str(n) for n in node_ids)
+        seq = "".join(graph.node_seq(n) for n in node_ids)
+        if len(seq) < read_length:
+            continue
+        n_reads = max(1, depth * len(seq) // read_length)
+        for i in range(n_reads):
+            start = rng.randint(0, len(seq) - read_length)
+            read = list(seq[start:start + read_length])
+            for j in range(len(read)):
+                if rng.random() < error_rate:
+                    read[j] = rng.choice(bases_alpha)
+            yield f"{path_id}:{i}", "".join(read)
+
+
+def cmd_simulate_reads(argv):
+    from ..graph.model import SequenceGraph, paths_from_json
+
+    p = argparse.ArgumentParser("simulate-reads")
+    p.add_argument("-g", "--graph-spec", required=True)
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-o", "--output", required=True, help="FASTA output")
+    p.add_argument("-l", "--read-length", type=int, default=100)
+    p.add_argument("-d", "--depth", type=int, default=30)
+    p.add_argument("-e", "--error-rate", type=float, default=0.005)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+    desc = _load_json(args.graph_spec)
+    if "graph" in desc:
+        desc = {**desc, **desc["graph"]}
+    graph = SequenceGraph.from_json(desc, args.reference)
+    paths = paths_from_json(graph, desc.get("paths"))
+    with open(args.output, "w") as f:
+        for name, read in simulate_reads_from_graph(
+                graph, paths, args.read_length, args.depth,
+                args.error_rate, args.seed):
+            f.write(f">{name}\n{read}\n")
+    return 0

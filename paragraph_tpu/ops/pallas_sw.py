@@ -50,149 +50,13 @@ def _shift_down(x, amt, fill):
     return jnp.where(row >= amt, rolled, fill)
 
 
-def _make_kernel_u8(L: int, N: int, P: int, M: int, TB: int,
-                    gap_open: int, gap_extend: int,
-                    match: int, mismatch: int):
-    """uint8 variant: gssw byte-mode arithmetic (biased profile +
-    saturating subtract) on (32,128) int8 tiles — 4× the lanes of the
-    int32 kernel. Exact for reads with max score < 251 (the caller guards
-    read length, mirroring gssw's byte→word promotion threshold).
-
-    The F recurrence uses a max-plus doubling scan with saturating decay:
-      D^(1) = H' ; D^(2s)_j = max(D^(s)_j, D^(s)_{j-s} ⊖ s·gapE)
-      F_j = (D_{j-1} ⊖ gapO) ⊖ ... == max(0, max_{k<j} H'_k − gapO −
-            (j−1−k)·gapE)
-    where ⊖ is saturating subtraction, so every intermediate stays in
-    [0, 255].
-    """
-    log_steps = []
-    s = 1
-    while s < M:
-        log_steps.append(s)
-        s *= 2
-    bias = mismatch  # gssw bias = |min score|
-
-    def satsub(x, c):
-        return jnp.maximum(x, jnp.uint8(c)) - jnp.uint8(c)
-
-    def kernel(ref_codes_ref, col_node_ref, col_in_node_ref, start_ref,
-               last_ref, pred_ref,
-               read_codes_ref, read_lens_ref, read_vlens_ref,
-               score_ref, end_node_ref, end_ref_ref, end_read_ref,
-               multi_ref,
-               prof_ref, h_ref, e_ref, saved_h_ref, saved_e_ref,
-               node_max_ref, cur_max_ref, e_node_ref, e_ref2_ref,
-               e_read_ref):
-        gapO = jnp.uint8(gap_open)
-        gapE = jnp.uint8(gap_extend)
-
-        codes = read_codes_ref[:]  # [M, TB] int32
-        lens = read_lens_ref[:]  # [1, TB] int32
-        vlens = read_vlens_ref[:]
-
-        # biased profile: match -> bias+match, mismatch -> bias-mismatch
-        # (=0), N/pad -> bias+0
-        for c in range(4):
-            prof_ref[c] = jnp.where(
-                codes == c, jnp.uint8(bias + match),
-                jnp.where(codes < 4, jnp.uint8(bias - mismatch),
-                          jnp.uint8(bias))).astype(jnp.uint8)
-        prof_ref[4] = jnp.full((M, TB), bias, jnp.uint8)
-
-        jj32 = jax.lax.broadcasted_iota(jnp.int32, (M, TB), 0)
-        stripe_mask = jj32 < vlens
-        real_mask = jj32 < lens
-
-        h_ref[:] = jnp.zeros((M, TB), jnp.uint8)
-        e_ref[:] = jnp.zeros((M, TB), jnp.uint8)
-        saved_h_ref[:] = jnp.zeros((N + 1, M, TB), jnp.uint8)
-        saved_e_ref[:] = jnp.zeros((N + 1, M, TB), jnp.uint8)
-        node_max_ref[:] = jnp.zeros((N, 1, TB), jnp.int32)
-        cur_max_ref[:] = jnp.zeros((1, TB), jnp.int32)
-        e_node_ref[:] = jnp.zeros((1, TB), jnp.int32)
-        e_ref2_ref[:] = jnp.full((1, TB), -1, jnp.int32)
-        e_read_ref[:] = lens - 1
-
-        def col_body(i, _):
-            ref_c = ref_codes_ref[i]
-            nid = col_node_ref[i]
-            col_off = col_in_node_ref[i]
-            is_start = start_ref[i] != 0
-            is_last = last_ref[i] != 0
-
-            @pl.when(is_start)
-            def _():
-                sh = saved_h_ref[pred_ref[nid, 0]]
-                se = saved_e_ref[pred_ref[nid, 0]]
-                for p in range(1, P):
-                    sh = jnp.maximum(sh, saved_h_ref[pred_ref[nid, p]])
-                    se = jnp.maximum(se, saved_e_ref[pred_ref[nid, p]])
-                h_ref[:] = sh
-                e_ref[:] = se
-
-            prof = prof_ref[ref_c]  # [M, TB] uint8 (biased)
-            h_prev = h_ref[:]
-            e_col = e_ref[:]
-            diag = _shift_down(h_prev, 1, jnp.uint8(0))
-            # H' = max(0, diag + score) = satsub(diag + biased_prof, bias)
-            hp = satsub(diag + prof, bias)
-            hp = jnp.maximum(hp, e_col)
-            # F via saturating max-plus doubling scan
-            d = hp
-            for s_amt in log_steps:
-                d = jnp.maximum(
-                    d, satsub(_shift_down(d, s_amt, jnp.uint8(0)),
-                              s_amt * gap_extend))
-            f = satsub(_shift_down(d, 1, jnp.uint8(0)), gap_open)
-            h = jnp.maximum(hp, f)
-            e_next = jnp.maximum(satsub(e_col, gap_extend),
-                                 satsub(h, gap_open))
-            h_ref[:] = h
-            e_ref[:] = e_next
-
-            @pl.when(is_last)
-            def _():
-                saved_h_ref[nid] = h
-                saved_e_ref[nid] = e_next
-
-            h32 = h.astype(jnp.int32)
-            h_stripe = jnp.where(stripe_mask, h32, 0)
-            h_real = jnp.where(real_mask, h32, 0)
-            col_max = jnp.max(h_stripe, axis=0, keepdims=True)
-            col_max_real = jnp.max(h_real, axis=0, keepdims=True)
-            node_max_ref[nid] = jnp.maximum(node_max_ref[nid], col_max_real)
-
-            upd = col_max > cur_max_ref[:]
-            first_j = jnp.min(
-                jnp.where(jnp.logical_and(h_stripe == col_max, stripe_mask),
-                          jj32, _BIG), axis=0, keepdims=True)
-            cand_read = jnp.minimum(first_j, lens - 1)
-            cur_max_ref[:] = jnp.where(upd, col_max, cur_max_ref[:])
-            e_node_ref[:] = jnp.where(upd, nid, e_node_ref[:])
-            e_ref2_ref[:] = jnp.where(upd, col_off, e_ref2_ref[:])
-            e_read_ref[:] = jnp.where(upd, cand_read, e_read_ref[:])
-            return 0
-
-        jax.lax.fori_loop(0, L, col_body, 0)
-
-        cur_max = cur_max_ref[:]
-        top = jnp.broadcast_to(cur_max, (N, 1, TB))
-        n_top = jnp.sum((node_max_ref[:] == top).astype(jnp.int32), axis=0)
-        zero_fill = cur_max == 0
-        score_ref[:] = cur_max
-        end_node_ref[:] = jnp.where(zero_fill, 0, e_node_ref[:])
-        end_ref_ref[:] = jnp.where(zero_fill, -1, e_ref2_ref[:])
-        end_read_ref[:] = jnp.where(
-            jnp.logical_and(zero_fill, read_lens_ref[:] > 1), 0,
-            e_read_ref[:])
-        multi_ref[:] = (n_top > 1).astype(jnp.int32)
-
-    return kernel
-
-
 def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
                  gap_open: int, gap_extend: int,
-                 match: int, mismatch: int):
+                 match: int, mismatch: int, dt=jnp.int32):
+    """DP state in dtype `dt` (int32, or int16 for 2x VPU lanes — exact
+    while scores + M*gap_extend stay below 2^14, i.e. any read the byte
+    mode of gssw could handle)."""
+    big = np.int32(2 ** 30) if dt == jnp.int32 else np.int16(2 ** 13)
     log_steps = []
     s = 1
     while s < M:
@@ -210,8 +74,8 @@ def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
             prof_ref, h_ref, e_ref, saved_h_ref, saved_e_ref,
             node_max_ref, cur_max_ref, e_node_ref, e_ref2_ref,
             e_read_ref):
-        gapO = jnp.int32(gap_open)
-        gapE = jnp.int32(gap_extend)
+        gapO = dt(gap_open)
+        gapE = dt(gap_extend)
 
         codes = read_codes_ref[:]  # [M, TB] int32 (padded class = 5)
         lens = read_lens_ref[:]  # [1, TB]
@@ -220,18 +84,19 @@ def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
         # build profile for the 5 reference classes: [5, M, TB]
         for c in range(4):
             prof_ref[c] = jnp.where(
-                codes == c, jnp.int32(match),
-                jnp.where(codes < 4, jnp.int32(-mismatch), jnp.int32(0)))
-        prof_ref[4] = jnp.zeros_like(codes)
+                codes == c, dt(match),
+                jnp.where(codes < 4, dt(-mismatch), dt(0))).astype(dt)
+        prof_ref[4] = jnp.zeros((M, TB), dt)
 
         jj = jax.lax.broadcasted_iota(jnp.int32, (M, TB), 0)
+        jj_dt = jj.astype(dt)
         stripe_mask = jj < vlens
         real_mask = jj < lens
 
-        h_ref[:] = jnp.zeros((M, TB), jnp.int32)
-        e_ref[:] = jnp.zeros((M, TB), jnp.int32)
-        saved_h_ref[:] = jnp.zeros((N + 1, M, TB), jnp.int32)
-        saved_e_ref[:] = jnp.zeros((N + 1, M, TB), jnp.int32)
+        h_ref[:] = jnp.zeros((M, TB), dt)
+        e_ref[:] = jnp.zeros((M, TB), dt)
+        saved_h_ref[:] = jnp.zeros((N + 1, M, TB), dt)
+        saved_e_ref[:] = jnp.zeros((N + 1, M, TB), dt)
         node_max_ref[:] = jnp.zeros((N, 1, TB), jnp.int32)
         cur_max_ref[:] = jnp.zeros((1, TB), jnp.int32)
         e_node_ref[:] = jnp.zeros((1, TB), jnp.int32)
@@ -258,16 +123,16 @@ def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
             prof = prof_ref[ref_c]
             h_prev = h_ref[:]
             e_col = e_ref[:]
-            diag = _shift_down(h_prev, 1, jnp.int32(0))
-            hp = jnp.maximum(diag + prof, 0)
+            diag = _shift_down(h_prev, 1, dt(0))
+            hp = jnp.maximum(diag + prof, dt(0))
             hp = jnp.maximum(hp, e_col)
             # F prefix scan
-            g = hp - gapO + (jj + 1) * gapE
+            g = hp - gapO + (jj_dt + dt(1)) * gapE
             for s_amt in log_steps:
-                g = jnp.maximum(g, _shift_down(g, s_amt, -_BIG))
-            f = jnp.maximum(_shift_down(g, 1, -_BIG) - jj * gapE, 0)
+                g = jnp.maximum(g, _shift_down(g, s_amt, -big))
+            f = jnp.maximum(_shift_down(g, 1, -big) - jj_dt * gapE, dt(0))
             h = jnp.maximum(hp, f)
-            e_next = jnp.maximum(jnp.maximum(e_col - gapE, h - gapO), 0)
+            e_next = jnp.maximum(jnp.maximum(e_col - gapE, h - gapO), dt(0))
             h_ref[:] = h
             e_ref[:] = e_next
 
@@ -276,8 +141,9 @@ def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
                 saved_h_ref[nid] = h
                 saved_e_ref[nid] = e_next
 
-            h_stripe = jnp.where(stripe_mask, h, 0)
-            h_real = jnp.where(real_mask, h, 0)
+            h32 = h.astype(jnp.int32)
+            h_stripe = jnp.where(stripe_mask, h32, 0)
+            h_real = jnp.where(real_mask, h32, 0)
             col_max = jnp.max(h_stripe, axis=0, keepdims=True)  # [1, TB]
             col_max_real = jnp.max(h_real, axis=0, keepdims=True)
             node_max_ref[nid] = jnp.maximum(node_max_ref[nid], col_max_real)
@@ -312,25 +178,20 @@ def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
 
 @partial(jax.jit,
          static_argnames=("L", "N", "P", "M", "TB", "gap_open",
-                          "gap_extend", "match", "mismatch", "use_u8",
+                          "gap_extend", "match", "mismatch", "use_i16",
                           "interpret"))
 def pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
                 pred_table, read_codes_t, read_lens, read_vlens,
                 L: int, N: int, P: int, M: int, TB: int,
                 gap_open: int = 6, gap_extend: int = 1, match: int = 1,
-                mismatch: int = 4, use_u8: bool = True,
+                mismatch: int = 4, use_i16: bool = True,
                 interpret: bool = False):
     """read_codes_t: [M, B] int32 (transposed); lens/vlens: [1, B]."""
     B = read_codes_t.shape[1]
     assert B % TB == 0
-    if use_u8:
-        kernel = _make_kernel_u8(L, N, P, M, TB, gap_open, gap_extend,
-                                 match, mismatch)
-        state_dt = jnp.uint8
-    else:
-        kernel = _make_kernel(L, N, P, M, TB, gap_open, gap_extend, match,
-                              mismatch)
-        state_dt = jnp.int32
+    state_dt = jnp.int16 if use_i16 else jnp.int32
+    kernel = _make_kernel(L, N, P, M, TB, gap_open, gap_extend, match,
+                          mismatch, dt=state_dt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(B // TB,),
@@ -399,9 +260,9 @@ class PallasGraphSW:
         pad_to = max(pad_to, -(max_len // -32) * 32)
         codes, lens, vlens = encode_reads(reads, pad_to)
         a = self.arrays
-        # byte mode is exact while max achievable score + bias stays
-        # below 256 (gssw's byte→word promotion threshold)
-        use_u8 = (codes.shape[1] * self.match + self.mismatch) < 255
+        # i16 state is exact while scores + M*gapE stay below 2^13
+        use_i16 = (codes.shape[1] * max(self.match, self.gap_extend)
+                   + self.gap_open + self.mismatch) < 2 ** 13
         out = pallas_fill(
             jnp.asarray(a.ref_codes), jnp.asarray(a.col_node),
             jnp.asarray(a.col_in_node),
@@ -413,6 +274,6 @@ class PallasGraphSW:
             L=len(a.ref_codes), N=a.num_nodes,
             P=a.pred_table.shape[1], M=codes.shape[1], TB=tb,
             gap_open=self.gap_open, gap_extend=self.gap_extend,
-            match=self.match, mismatch=self.mismatch, use_u8=use_u8,
+            match=self.match, mismatch=self.mismatch, use_i16=use_i16,
             interpret=self.interpret)
         return tuple(np.asarray(x)[:n_real] for x in out)
