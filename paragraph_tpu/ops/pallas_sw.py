@@ -44,7 +44,9 @@ DEFAULT_TB = 128
 
 def _shift_down(x, amt, fill):
     """Shift along axis 0 (read axis) towards higher indices by `amt`,
-    filling vacated rows with `fill`."""
+    filling vacated rows with `fill`. (Used by interpret-mode paths;
+    compiled kernels use scratch-based shifts because Mosaic only rotates
+    32-bit data.)"""
     rolled = pltpu.roll(x, amt, axis=0)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     return jnp.where(row >= amt, rolled, fill)
@@ -73,7 +75,13 @@ def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
             # scratch
             prof_ref, h_ref, e_ref, saved_h_ref, saved_e_ref,
             node_max_ref, cur_max_ref, e_node_ref, e_ref2_ref,
-            e_read_ref):
+            e_read_ref, shift_ref):
+
+        def shift_down(x, amt, fill_val):
+            # sublane shift via scratch stores (dtype-agnostic)
+            shift_ref[0:amt] = jnp.full((amt, TB), fill_val, dt)
+            shift_ref[amt:M] = x[0:M - amt]
+            return shift_ref[:]
         gapO = dt(gap_open)
         gapE = dt(gap_extend)
 
@@ -123,14 +131,14 @@ def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
             prof = prof_ref[ref_c]
             h_prev = h_ref[:]
             e_col = e_ref[:]
-            diag = _shift_down(h_prev, 1, dt(0))
+            diag = shift_down(h_prev, 1, dt(0))
             hp = jnp.maximum(diag + prof, dt(0))
             hp = jnp.maximum(hp, e_col)
             # F prefix scan
             g = hp - gapO + (jj_dt + dt(1)) * gapE
             for s_amt in log_steps:
-                g = jnp.maximum(g, _shift_down(g, s_amt, -big))
-            f = jnp.maximum(_shift_down(g, 1, -big) - jj_dt * gapE, dt(0))
+                g = jnp.maximum(g, shift_down(g, s_amt, -big))
+            f = jnp.maximum(shift_down(g, 1, -big) - jj_dt * gapE, dt(0))
             h = jnp.maximum(hp, f)
             e_next = jnp.maximum(jnp.maximum(e_col - gapE, h - gapO), dt(0))
             h_ref[:] = h
@@ -219,6 +227,7 @@ def pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
             pltpu.VMEM((1, TB), jnp.int32),  # end node
             pltpu.VMEM((1, TB), jnp.int32),  # end ref
             pltpu.VMEM((1, TB), jnp.int32),  # end read
+            pltpu.VMEM((M, TB), state_dt),  # shift scratch
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((1, B), jnp.int32) for _ in range(5)]
