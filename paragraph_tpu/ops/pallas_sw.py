@@ -90,10 +90,13 @@ def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
         vlens = read_vlens_ref[:]
 
         # build profile for the 5 reference classes: [5, M, TB]
+        # (computed in int32 then cast — mixing i1 masks from int32
+        # compares with 16-bit selects trips a Mosaic relayout bug)
         for c in range(4):
             prof_ref[c] = jnp.where(
-                codes == c, dt(match),
-                jnp.where(codes < 4, dt(-mismatch), dt(0))).astype(dt)
+                codes == c, jnp.int32(match),
+                jnp.where(codes < 4, jnp.int32(-mismatch),
+                          jnp.int32(0))).astype(dt)
         prof_ref[4] = jnp.zeros((M, TB), dt)
 
         jj = jax.lax.broadcasted_iota(jnp.int32, (M, TB), 0)
