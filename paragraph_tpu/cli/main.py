@@ -344,8 +344,22 @@ _COMMANDS = {
 }
 
 
+def _expand_response_files(argv):
+    """--response-file=FILE support (common::Options, Program.cpp:73-106):
+    arguments are read whitespace-separated from the file."""
+    out = []
+    for arg in argv:
+        if arg.startswith("--response-file="):
+            with open(arg.split("=", 1)[1]) as f:
+                out.extend(f.read().split())
+        else:
+            out.append(arg)
+    return out
+
+
 def main(argv=None):
-    argv = list(sys.argv[1:] if argv is None else argv)
+    argv = _expand_response_files(
+        list(sys.argv[1:] if argv is None else argv))
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: paragraph-tpu <tool> [options]\n\ntools: "
               + ", ".join(sorted(_COMMANDS)))

@@ -195,7 +195,7 @@ def pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
                 pred_table, read_codes_t, read_lens, read_vlens,
                 L: int, N: int, P: int, M: int, TB: int,
                 gap_open: int = 6, gap_extend: int = 1, match: int = 1,
-                mismatch: int = 4, use_i16: bool = True,
+                mismatch: int = 4, use_i16: bool = False,
                 interpret: bool = False):
     """read_codes_t: [M, B] int32 (transposed); lens/vlens: [1, B]."""
     B = read_codes_t.shape[1]
@@ -272,9 +272,11 @@ class PallasGraphSW:
         pad_to = max(pad_to, -(max_len // -32) * 32)
         codes, lens, vlens = encode_reads(reads, pad_to)
         a = self.arrays
-        # i16 state is exact while scores + M*gapE stay below 2^13
-        use_i16 = (codes.shape[1] * max(self.match, self.gap_extend)
-                   + self.gap_open + self.mismatch) < 2 ** 13
+        # i16 state would be exact below 2^13 and halve VPU work, but the
+        # current Mosaic toolchain only legalizes 32-bit vector compute
+        # (i8 vectors, 16-bit rotates and arith.maxsi on i16 all fail),
+        # so the compiled path stays int32 for now.
+        use_i16 = False
         out = pallas_fill(
             jnp.asarray(a.ref_codes), jnp.asarray(a.col_node),
             jnp.asarray(a.col_in_node),
