@@ -154,8 +154,12 @@ class BaiIndex:
         n_ref = struct.unpack_from("<i", data, off)[0]
         off += 4
         self.refs = []
+        # per-ref (mapped, unmapped) from the 37450 pseudo bin
+        # (hts_idx_get_stat equivalent)
+        self.stats = []
         for _ in range(n_ref):
             bins = {}
+            stat = None
             n_bin = struct.unpack_from("<i", data, off)[0]
             off += 4
             for _ in range(n_bin):
@@ -166,12 +170,19 @@ class BaiIndex:
                     beg, end = struct.unpack_from("<QQ", data, off)
                     off += 16
                     chunks.append((beg, end))
-                bins[bin_id] = chunks
+                if bin_id == 37450 and len(chunks) == 2:
+                    stat = (chunks[1][0], chunks[1][1])
+                else:
+                    bins[bin_id] = chunks
             n_intv = struct.unpack_from("<i", data, off)[0]
             off += 4
             ioffsets = list(struct.unpack_from(f"<{n_intv}Q", data, off))
             off += 8 * n_intv
             self.refs.append((bins, ioffsets))
+            self.stats.append(stat)
+        self.n_no_coor = None
+        if off + 8 <= len(data):
+            self.n_no_coor = struct.unpack_from("<Q", data, off)[0]
 
     def chunks_for_region(self, tid: int, beg: int, end: int):
         if tid < 0 or tid >= len(self.refs):
@@ -280,10 +291,15 @@ class BamReader:
         return None
 
     def index_read_counts(self):
-        """Per-contig (mapped, unmapped) read counts — not stored in BAI in
-        this minimal implementation; computed by scanning bin 37450 pseudo
-        chunks is unsupported, so callers fall back to sampled estimation."""
-        return None
+        """Per-contig (mapped, unmapped) read counts from the BAI's
+        37450 pseudo bins (hts_idx_get_stat semantics, used by idxdepth
+        for per-contig 'reads'/'index_depth'); None entries when the
+        index lacks stats."""
+        return list(self._index.stats)
+
+    def unplaced_read_count(self):
+        """hts_idx_get_n_no_coor equivalent."""
+        return self._index.n_no_coor
 
     def close(self):
         self._bgzf.close()

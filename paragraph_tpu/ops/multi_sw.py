@@ -1,0 +1,324 @@
+"""Multi-event batched graph-SW: many graphs, one kernel dispatch.
+
+The production workload is thousands of small SV graphs, each with its own
+read set (SURVEY.md §2.3: the reference farms them over a thread pool).
+Dispatching one Pallas call per event would pay the host→device round trip
+per event; this kernel concatenates all events' graph columns into one
+stream and assigns each grid program a (read-tile, event) pair: the
+program walks only its event's column range (scalar-prefetched offsets)
+with its DP state in VMEM. One launch scores an entire event batch.
+
+Node ids are event-local, so the boundary-state scratch stays
+[N_max+1, M, TB]; predecessor tables stack per event.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..graph.model import SequenceGraph
+from .batched_sw import GraphArrays, encode_reads
+
+_BIG = np.int32(2 ** 30)
+DEFAULT_TB = 128
+
+
+def _bucket(x: int, m: int) -> int:
+    return -(x // -m) * m
+
+
+class MultiGraphArrays:
+    """Concatenated device arrays for a batch of graphs."""
+
+    def __init__(self, graphs: Sequence[SequenceGraph]):
+        arrays = [GraphArrays.build(g) for g in graphs]
+        self.per_event = arrays
+        self.n_max = max(a.num_nodes for a in arrays)
+        self.p_max = max(a.pred_table.shape[1] for a in arrays)
+        self.col_start = []
+        ref_codes = []
+        col_node = []
+        col_in_node = []
+        is_start = []
+        is_last = []
+        pred_tables = []
+        for a in arrays:
+            self.col_start.append(len(ref_codes))
+            ref_codes.extend(a.ref_codes.tolist())
+            col_node.extend(a.col_node.tolist())
+            col_in_node.extend(a.col_in_node.tolist())
+            is_start.extend(a.is_start.astype(np.int32).tolist())
+            is_last.extend(a.is_last.astype(np.int32).tolist())
+            pt = np.full((self.n_max, self.p_max), a.num_nodes, np.int32)
+            pt[:a.pred_table.shape[0], :a.pred_table.shape[1]] = \
+                a.pred_table
+            # remap each event's zero-state slot to the shared N_max slot
+            pt[pt == a.num_nodes] = self.n_max
+            pred_tables.append(pt)
+        self.col_len = [len(a.ref_codes) for a in arrays]
+        # pad column stream to a bucketed length for compile reuse
+        l_bucket = _bucket(max(1, len(ref_codes)), 1024)
+        pad = l_bucket - len(ref_codes)
+        ref_codes.extend([4] * pad)
+        col_node.extend([0] * pad)
+        col_in_node.extend([0] * pad)
+        is_start.extend([0] * pad)
+        is_last.extend([0] * pad)
+        self.ref_codes = np.asarray(ref_codes, np.int32)
+        self.col_node = np.asarray(col_node, np.int32)
+        self.col_in_node = np.asarray(col_in_node, np.int32)
+        self.is_start = np.asarray(is_start, np.int32)
+        self.is_last = np.asarray(is_last, np.int32)
+        self.pred_tables = np.stack(pred_tables)  # [E, N_max, P_max]
+
+
+def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
+                 gap_open: int, gap_extend: int, match: int,
+                 mismatch: int):
+    dt = jnp.int32
+
+    def kernel(ref_codes_ref, col_node_ref, col_in_node_ref, start_ref,
+               last_ref, pred_ref, tile_col_start_ref, tile_col_len_ref,
+               tile_event_ref,
+               read_codes_ref, read_lens_ref, read_vlens_ref,
+               score_ref, end_node_ref, end_ref_ref, end_read_ref,
+               multi_ref,
+               prof_ref, h_ref, e_ref, saved_h_ref, saved_e_ref,
+               node_max_ref, cur_max_ref, e_node_ref, e_ref2_ref,
+               e_read_ref, shift_ref):
+        t = pl.program_id(0)
+        ev = tile_event_ref[t]
+        c0 = tile_col_start_ref[t]
+        clen = tile_col_len_ref[t]
+        gapO = dt(gap_open)
+        gapE = dt(gap_extend)
+
+        codes = read_codes_ref[:]
+        lens = read_lens_ref[:]
+        vlens = read_vlens_ref[:]
+
+        for c in range(4):
+            prof_ref[c] = jnp.where(
+                codes == c, jnp.int32(match),
+                jnp.where(codes < 4, jnp.int32(-mismatch), jnp.int32(0)))
+        prof_ref[4] = jnp.zeros((M, TB), dt)
+
+        jj = jax.lax.broadcasted_iota(jnp.int32, (M, TB), 0)
+        stripe_mask = jj < vlens
+        real_mask = jj < lens
+
+        h_ref[:] = jnp.zeros((M, TB), dt)
+        e_ref[:] = jnp.zeros((M, TB), dt)
+        saved_h_ref[:] = jnp.zeros((N + 1, M, TB), dt)
+        saved_e_ref[:] = jnp.zeros((N + 1, M, TB), dt)
+        node_max_ref[:] = jnp.zeros((N, 1, TB), jnp.int32)
+        cur_max_ref[:] = jnp.zeros((1, TB), jnp.int32)
+        e_node_ref[:] = jnp.zeros((1, TB), jnp.int32)
+        e_ref2_ref[:] = jnp.full((1, TB), -1, jnp.int32)
+        e_read_ref[:] = lens - 1
+
+        def shift_down(x, amt, fill_val):
+            shift_ref[0:amt] = jnp.full((amt, TB), fill_val, dt)
+            shift_ref[amt:M] = x[0:M - amt]
+            return shift_ref[:]
+
+        log_steps = []
+        s = 1
+        while s < M:
+            log_steps.append(s)
+            s *= 2
+
+        def col_body(i, _):
+            ref_c = ref_codes_ref[i]
+            nid = col_node_ref[i]
+            col_off = col_in_node_ref[i]
+            is_start = start_ref[i] != 0
+            is_last = last_ref[i] != 0
+
+            @pl.when(is_start)
+            def _():
+                sh = saved_h_ref[pred_ref[ev, nid, 0]]
+                se = saved_e_ref[pred_ref[ev, nid, 0]]
+                for p in range(1, P):
+                    sh = jnp.maximum(sh, saved_h_ref[pred_ref[ev, nid, p]])
+                    se = jnp.maximum(se, saved_e_ref[pred_ref[ev, nid, p]])
+                h_ref[:] = sh
+                e_ref[:] = se
+
+            prof = prof_ref[ref_c]
+            h_prev = h_ref[:]
+            e_col = e_ref[:]
+            diag = shift_down(h_prev, 1, dt(0))
+            hp = jnp.maximum(diag + prof, dt(0))
+            hp = jnp.maximum(hp, e_col)
+            g = hp - gapO + (jj + 1) * gapE
+            for s_amt in log_steps:
+                g = jnp.maximum(g, shift_down(g, s_amt, -_BIG))
+            f = jnp.maximum(shift_down(g, 1, -_BIG) - jj * gapE, dt(0))
+            h = jnp.maximum(hp, f)
+            e_next = jnp.maximum(jnp.maximum(e_col - gapE, h - gapO), dt(0))
+            h_ref[:] = h
+            e_ref[:] = e_next
+
+            @pl.when(is_last)
+            def _():
+                saved_h_ref[nid] = h
+                saved_e_ref[nid] = e_next
+
+            h_stripe = jnp.where(stripe_mask, h, 0)
+            h_real = jnp.where(real_mask, h, 0)
+            col_max = jnp.max(h_stripe, axis=0, keepdims=True)
+            col_max_real = jnp.max(h_real, axis=0, keepdims=True)
+            node_max_ref[nid] = jnp.maximum(node_max_ref[nid], col_max_real)
+
+            upd = col_max > cur_max_ref[:]
+            first_j = jnp.min(
+                jnp.where(jnp.logical_and(h_stripe == col_max, stripe_mask),
+                          jj, _BIG), axis=0, keepdims=True)
+            cand_read = jnp.minimum(first_j, lens - 1)
+            cur_max_ref[:] = jnp.where(upd, col_max, cur_max_ref[:])
+            e_node_ref[:] = jnp.where(upd, nid, e_node_ref[:])
+            e_ref2_ref[:] = jnp.where(upd, col_off, e_ref2_ref[:])
+            e_read_ref[:] = jnp.where(upd, cand_read, e_read_ref[:])
+            return 0
+
+        jax.lax.fori_loop(c0, c0 + clen, col_body, 0)
+
+        cur_max = cur_max_ref[:]
+        top = jnp.broadcast_to(cur_max, (N, 1, TB))
+        n_top = jnp.sum((node_max_ref[:] == top).astype(jnp.int32), axis=0)
+        zero_fill = cur_max == 0
+        score_ref[:] = cur_max
+        end_node_ref[:] = jnp.where(zero_fill, 0, e_node_ref[:])
+        end_ref_ref[:] = jnp.where(zero_fill, -1, e_ref2_ref[:])
+        end_read_ref[:] = jnp.where(
+            jnp.logical_and(zero_fill, lens > 1), 0, e_read_ref[:])
+        multi_ref[:] = (n_top > 1).astype(jnp.int32)
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("L", "N", "P", "M", "TB", "gap_open",
+                          "gap_extend", "match", "mismatch", "interpret"))
+def multi_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
+                      pred_tables, tile_col_start, tile_col_len,
+                      tile_event, read_codes_t, read_lens, read_vlens,
+                      L: int, N: int, P: int, M: int, TB: int,
+                      gap_open: int = 6, gap_extend: int = 1,
+                      match: int = 1, mismatch: int = 4,
+                      interpret: bool = False):
+    B = read_codes_t.shape[1]
+    assert B % TB == 0
+    kernel = _make_kernel(L, N, P, M, TB, gap_open, gap_extend, match,
+                          mismatch)
+    state_dt = jnp.int32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((M, TB), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM)
+            for _ in range(5)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, M, TB), state_dt),
+            pltpu.VMEM((M, TB), state_dt),
+            pltpu.VMEM((M, TB), state_dt),
+            pltpu.VMEM((N + 1, M, TB), state_dt),
+            pltpu.VMEM((N + 1, M, TB), state_dt),
+            pltpu.VMEM((N, 1, TB), jnp.int32),
+            pltpu.VMEM((1, TB), jnp.int32),
+            pltpu.VMEM((1, TB), jnp.int32),
+            pltpu.VMEM((1, TB), jnp.int32),
+            pltpu.VMEM((1, TB), jnp.int32),
+            pltpu.VMEM((M, TB), state_dt),
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct((1, B), jnp.int32) for _ in range(5)]
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(ref_codes, col_node, col_in_node, is_start, is_last, pred_tables,
+      tile_col_start, tile_col_len, tile_event,
+      read_codes_t, read_lens, read_vlens)
+    return tuple(o[0] for o in outs)
+
+
+class MultiGraphSW:
+    """Score (graph, reads) pairs for a whole event batch in one launch."""
+
+    def __init__(self, graphs: Sequence[SequenceGraph],
+                 tile_batch: int = DEFAULT_TB, interpret: bool = False):
+        self.arrays = MultiGraphArrays(graphs)
+        self.tile_batch = tile_batch
+        self.interpret = interpret
+
+    def score(self, reads_per_event: Sequence[List[str]], pad_to: int = 0):
+        """Returns per-event tuples (score, end_node, end_ref, end_read,
+        multi) as numpy arrays."""
+        a = self.arrays
+        tb = self.tile_batch
+        all_reads: List[str] = []
+        tile_event = []
+        tile_col_start = []
+        tile_col_len = []
+        event_slices = []
+        max_len = 1
+        for ev, reads in enumerate(reads_per_event):
+            n = len(reads)
+            n_pad = _bucket(max(1, n), tb)
+            event_slices.append((len(all_reads), n))
+            all_reads.extend(reads)
+            all_reads.extend(["A"] * (n_pad - n))
+            for _ in range(n_pad // tb):
+                tile_event.append(ev)
+                tile_col_start.append(a.col_start[ev])
+                tile_col_len.append(a.col_len[ev])
+            if n:
+                max_len = max(max_len, max(len(r) for r in reads))
+        # bucket total tiles to powers of two (pad tiles score event 0
+        # with dummy reads)
+        n_tiles = len(tile_event)
+        t_bucket = 1
+        while t_bucket < n_tiles:
+            t_bucket *= 2
+        for _ in range(t_bucket - n_tiles):
+            tile_event.append(0)
+            tile_col_start.append(a.col_start[0])
+            tile_col_len.append(a.col_len[0])
+            all_reads.extend(["A"] * tb)
+
+        pad_to = max(pad_to, _bucket(max_len, 32))
+        codes, lens, vlens = encode_reads(all_reads, pad_to)
+        out = multi_pallas_fill(
+            jnp.asarray(a.ref_codes), jnp.asarray(a.col_node),
+            jnp.asarray(a.col_in_node), jnp.asarray(a.is_start),
+            jnp.asarray(a.is_last), jnp.asarray(a.pred_tables),
+            jnp.asarray(np.asarray(tile_col_start, np.int32)),
+            jnp.asarray(np.asarray(tile_col_len, np.int32)),
+            jnp.asarray(np.asarray(tile_event, np.int32)),
+            jnp.asarray(codes.T.copy()), jnp.asarray(lens[None, :]),
+            jnp.asarray(vlens[None, :]),
+            L=len(a.ref_codes), N=a.n_max, P=a.p_max, M=codes.shape[1],
+            TB=tb, interpret=self.interpret)
+        out = [np.asarray(x) for x in out]
+        results = []
+        for start, n in event_slices:
+            results.append(tuple(x[start:start + n] for x in out))
+        return results

@@ -169,7 +169,15 @@ def estimate_depths(bam_path: str, reference_path: str,
         if sex_re.fullmatch(name):
             sex_chromosomes.append(name)
 
-    output["unaligned_reads"] = 0
+    # per-contig index read counts (DepthEstimation.cpp:122-147)
+    index_stats = reader.index_read_counts()
+    unaligned = 0
+    for st in index_stats or []:
+        if st is not None:
+            unaligned += st[1]
+    if reader.unplaced_read_count():
+        unaligned += reader.unplaced_read_count()
+    output["unaligned_reads"] = unaligned
 
     read_length = 0
     has_rl = False
@@ -187,6 +195,10 @@ def estimate_depths(bam_path: str, reference_path: str,
             "depth_variance": info["depth_variance"],
             "reads_for_estimation": info["read_count"],
         }
+        if index_stats and index_stats[tid] and index_stats[tid][0] > 0:
+            contig_info["reads"] = index_stats[tid][0]
+            contig_info["index_depth"] = (
+                info["read_length"] * index_stats[tid][0] // length)
         output["contigs"].append(contig_info)
         if (has_rl and read_length != info["read_length"]) or (
                 not info["read_length_unique"]):
