@@ -18,6 +18,20 @@ from .graph_aligner import reverse_complement
 from .gssw import GraphSW
 
 
+def _make_scorer(graph: SequenceGraph):
+    """Pallas kernel on TPU, XLA scan elsewhere (same exact outputs)."""
+    import jax
+
+    if jax.devices()[0].platform != "cpu":
+        try:
+            from ..ops.pallas_sw import PallasGraphSW
+
+            return PallasGraphSW(graph)
+        except Exception:
+            pass
+    return BatchedGraphSW(graph)
+
+
 class BatchedGraphAligner:
     def __init__(self, graph: Optional[SequenceGraph] = None):
         self._fwd_scorer: Optional[BatchedGraphSW] = None
@@ -28,8 +42,8 @@ class BatchedGraphAligner:
             self.set_graph(graph)
 
     def set_graph(self, graph: SequenceGraph):
-        self._fwd_scorer = BatchedGraphSW(graph)
-        self._rev_scorer = BatchedGraphSW(graph.reversed())
+        self._fwd_scorer = _make_scorer(graph)
+        self._rev_scorer = _make_scorer(graph.reversed())
         self._fwd_scalar = GraphSW(graph)
         # C-speed traceback for kept reads when the native lib builds
         try:
@@ -63,8 +77,18 @@ class BatchedGraphAligner:
         fwd_batch = fwd_bases + rev_bases
         rev_batch = [b[::-1] for b in fwd_bases] + [b[::-1] for b in rev_bases]
 
-        f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
-        _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
+        try:
+            f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
+            _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
+        except Exception:
+            # device kernel failed (e.g. Mosaic/compile issue on this
+            # toolchain) — fall back to the XLA scan scorer permanently
+            if isinstance(self._fwd_scorer, BatchedGraphSW):
+                raise
+            self._fwd_scorer = BatchedGraphSW(self._fwd_scorer.graph)
+            self._rev_scorer = BatchedGraphSW(self._rev_scorer.graph)
+            f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
+            _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
 
         for i, read in enumerate(reads):
             fwd_multi = bool(f_multi[i])

@@ -171,9 +171,7 @@ def fragment_statistics(fragments: List[Fragment]) -> dict:
     """alignmentStats (ReadCounting.cpp:129-223).
 
     Mean/variance follow boost lazy accumulators (population variance);
-    median is currently the exact median rather than boost's P^2
-    estimate — these fields are informational only (not used for
-    genotyping or VCF output).
+    median uses the same P² streaming estimator as boost's tag::median.
     """
     linear: List[float] = []
     graph: List[float] = []
@@ -208,11 +206,12 @@ def fragment_statistics(fragments: List[Fragment]) -> dict:
         return sum(x * x for x in xs) / len(xs) - m * m
 
     def median(xs):
-        if not xs:
-            return 0.0
-        s = sorted(xs)
-        n = len(s)
-        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+        from ..utils.statistics import P2Quantile
+
+        q = P2Quantile()
+        for x in xs:
+            q.add(x)
+        return q.value()
 
     return {
         "mean_linear": mean(linear),
