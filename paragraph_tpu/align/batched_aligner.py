@@ -90,6 +90,8 @@ class BatchedGraphAligner:
             f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
             _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
 
+        chosen_list = []
+        unique_list = []
         for i, read in enumerate(reads):
             fwd_multi = bool(f_multi[i])
             rev_multi = bool(f_multi[n + i])
@@ -116,10 +118,41 @@ class BatchedGraphAligner:
             else:
                 chosen = fwd_bases[i]
                 unique = fwd_unique
+            chosen_list.append(chosen)
+            unique_list.append(unique)
 
-            # exact traceback on the chosen orientation only
-            score, pos, cigar = self._trace(chosen)
+        # exact traceback on the chosen orientation only; the native C++
+        # engine releases the GIL, so fan out over threads
+        if self._fwd_native is not None and len(reads) > 64:
+            import concurrent.futures
+            import os
 
+            from .native import NativeGraphSW
+
+            workers = min(8, os.cpu_count() or 1)
+            engines = [self._fwd_native] + [
+                NativeGraphSW(self._fwd_native.graph)
+                for _ in range(workers - 1)
+            ]
+
+            def trace_chunk(args):
+                widx, chunk = args
+                eng = engines[widx]
+                return [eng.align(c) for c in chunk]
+
+            chunks = [(w, chosen_list[w::workers]) for w in range(workers)]
+            with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+                chunk_results = list(ex.map(trace_chunk, chunks))
+            results = [None] * len(reads)
+            for w, res in enumerate(chunk_results):
+                for k, r in enumerate(res):
+                    results[w + k * workers] = r
+            traces = [(r[0], r[1], r[3]) for r in results]
+        else:
+            traces = [self._trace(c) for c in chosen_list]
+
+        for read, unique, (score, pos, cigar) in zip(
+                reads, unique_list, traces):
             read.graph_pos = pos
             read.graph_alignment_score = score
             read.is_graph_alignment_unique = unique

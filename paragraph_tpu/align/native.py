@@ -72,6 +72,7 @@ class NativeGraphSW:
         if lib is None:
             raise RuntimeError("native graph SW library unavailable")
         self._lib = lib
+        self.graph = graph
         n = graph.num_nodes
         seqs = (ctypes.c_char_p * n)(
             *[graph.node_seq(i).encode() for i in range(n)])
