@@ -32,18 +32,32 @@ def _make_scorer(graph: SequenceGraph):
     return BatchedGraphSW(graph)
 
 
+def make_orientation_batches(reads: List[Read]):
+    """The four-orientation read batches of GraphAligner's protocol:
+    forward graph scores fwd + revcomp reads; reversed graph scores their
+    reversals. Returns (fwd_bases, rev_bases, fwd_batch, rev_batch)."""
+    fwd_bases = [r.bases.upper() for r in reads]
+    rev_bases = [reverse_complement(b) for b in fwd_bases]
+    fwd_batch = fwd_bases + rev_bases
+    rev_batch = [b[::-1] for b in fwd_bases] + [b[::-1] for b in rev_bases]
+    return fwd_bases, rev_bases, fwd_batch, rev_batch
+
+
 class BatchedGraphAligner:
-    def __init__(self, graph: Optional[SequenceGraph] = None):
+    def __init__(self, graph: Optional[SequenceGraph] = None,
+                 scoring: bool = True):
         self._fwd_scorer: Optional[BatchedGraphSW] = None
         self._rev_scorer: Optional[BatchedGraphSW] = None
         self._fwd_scalar: Optional[GraphSW] = None
         self._fwd_native = None
+        self._scoring = scoring
         if graph is not None:
             self.set_graph(graph)
 
     def set_graph(self, graph: SequenceGraph):
-        self._fwd_scorer = _make_scorer(graph)
-        self._rev_scorer = _make_scorer(graph.reversed())
+        if self._scoring:
+            self._fwd_scorer = _make_scorer(graph)
+            self._rev_scorer = _make_scorer(graph.reversed())
         self._fwd_scalar = GraphSW(graph)
         # C-speed traceback for kept reads when the native lib builds
         try:
@@ -64,31 +78,35 @@ class BatchedGraphAligner:
         gm = self._fwd_scalar.trace_back(fills, max_node, chosen)
         return gm.score, gm.position, gm.cigar_string()
 
-    def align_reads_batch(self, reads: List[Read]) -> None:
+    def align_reads_batch(self, reads: List[Read],
+                          precomputed=None) -> None:
         """Batch equivalent of calling GraphAligner::alignRead per read
-        with AF_ALL flags."""
+        with AF_ALL flags.
+
+        `precomputed` optionally carries (f_score, f_multi, r_multi) from
+        an external (e.g. cross-event) scoring pass.
+        """
         if not reads:
             return
-        fwd_bases = [r.bases.upper() for r in reads]
-        rev_bases = [reverse_complement(b) for b in fwd_bases]
+        fwd_bases, rev_bases, fwd_batch, rev_batch = \
+            make_orientation_batches(reads)
         n = len(reads)
-        # forward graph: fwd + revcomp reads; reversed graph: reversed +
-        # complement reads (reverse of revcomp)
-        fwd_batch = fwd_bases + rev_bases
-        rev_batch = [b[::-1] for b in fwd_bases] + [b[::-1] for b in rev_bases]
 
-        try:
-            f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
-            _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
-        except Exception:
-            # device kernel failed (e.g. Mosaic/compile issue on this
-            # toolchain) — fall back to the XLA scan scorer permanently
-            if isinstance(self._fwd_scorer, BatchedGraphSW):
-                raise
-            self._fwd_scorer = BatchedGraphSW(self._fwd_scorer.graph)
-            self._rev_scorer = BatchedGraphSW(self._rev_scorer.graph)
-            f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
-            _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
+        if precomputed is not None:
+            f_score, f_multi, r_multi = precomputed
+        else:
+            try:
+                f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
+                _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
+            except Exception:
+                # device kernel failed (e.g. Mosaic/compile issue on this
+                # toolchain) — fall back to the XLA scan scorer permanently
+                if isinstance(self._fwd_scorer, BatchedGraphSW):
+                    raise
+                self._fwd_scorer = BatchedGraphSW(self._fwd_scorer.graph)
+                self._rev_scorer = BatchedGraphSW(self._rev_scorer.graph)
+                f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
+                _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
 
         chosen_list = []
         unique_list = []

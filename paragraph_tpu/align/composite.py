@@ -105,18 +105,21 @@ def align_reads(graph: SequenceGraph, paths, reads: List[Read],
                 klib_matching: bool, kmer_matching: bool,
                 validate_alignments: bool = False,
                 threads: int = 1,
-                engine: str = "batched") -> List[Read]:
+                engine: str = "batched",
+                precomputed_scores=None) -> List[Read]:
     """grm::alignReads (Align.cpp:114-156): align every read and keep only
     those that end MAPPED. Returns the filtered read buffer.
 
     engine="batched" scores all reads in one device fill per orientation
     (ops/batched_sw.py) and runs the exact traceback host-side;
     engine="scalar" runs the per-read scalar path. Results are identical.
+    `precomputed_scores` injects (f_score, f_multi, r_multi) from a
+    cross-event scoring pass (pipeline/grmpy.py batch mode).
     """
     if engine == "batched" and graph_matching and not (
             klib_matching or kmer_matching):
         return _align_reads_batched(graph, paths, reads, filt,
-                                    path_matching)
+                                    path_matching, precomputed_scores)
     aligner = CompositeAligner(path_matching, graph_matching,
                                klib_matching, kmer_matching)
     aligner.set_graph(graph, paths)
@@ -133,7 +136,8 @@ def align_reads(graph: SequenceGraph, paths, reads: List[Read],
 
 def _align_reads_batched(graph: SequenceGraph, paths, reads: List[Read],
                          filt: Optional[ReadFilter],
-                         path_matching: bool) -> List[Read]:
+                         path_matching: bool,
+                         precomputed_scores=None) -> List[Read]:
     from .batched_aligner import BatchedGraphAligner
 
     path_aligner = None
@@ -153,11 +157,12 @@ def _align_reads_batched(graph: SequenceGraph, paths, reads: List[Read],
         if read.graph_mapping_status != MAPPED:
             needs_graph.append(read)
 
-    batched = BatchedGraphAligner(graph)
+    batched = BatchedGraphAligner(graph,
+                                  scoring=precomputed_scores is None)
     # only reads still unmapped go to the graph stage (BAD_ALIGN reads get
     # the same second chance the CompositeAligner gives them)
     stage2 = [r for r in needs_graph if r.graph_mapping_status != MAPPED]
-    batched.align_reads_batch(stage2)
+    batched.align_reads_batch(stage2, precomputed=precomputed_scores)
     for read in stage2:
         read.graph_mapping_status = MAPPED
         if filt and filt(read):

@@ -142,18 +142,153 @@ def count_and_genotype(graph_desc: dict, reference_path: str,
     return genotyper.get_genotypes()
 
 
+def _make_paragraph_parameters(parameters: GrmpyParameters,
+                               graph_desc: dict, reference_path: str,
+                               write_alignments: bool) -> Parameters:
+    if write_alignments:
+        output_options = ALL
+    else:
+        output_options = (NODE_READ_COUNTS | EDGE_READ_COUNTS
+                          | PATH_READ_COUNTS | DETAILED_READ_COUNTS)
+    if parameters.infer_read_haplotypes:
+        output_options |= HAPLOTYPES
+    else:
+        output_options &= ~HAPLOTYPES
+    pp = Parameters(
+        parameters.max_reads,
+        3 if write_alignments else parameters.max_reads + 1,
+        0.01, parameters.bad_align_frac, output_options,
+        parameters.path_sequence_matching,
+        parameters.graph_sequence_matching,
+        parameters.klib_sequence_matching,
+        parameters.kmer_sequence_matching, False)
+    pp.threads = parameters.threads
+    pp.kmer_len = parameters.bad_align_uniq_kmer_len
+    pp.load(graph_desc, reference_path)
+    return pp
+
+
+def align_samples_batched(parameters: GrmpyParameters,
+                          graph_descs: List[dict], reference_path: str,
+                          manifest: List[SampleInfo],
+                          readers: Dict[str, BamReader]):
+    """Cross-event batched alignment: extract reads for every
+    (graph × sample) pair, score ALL pairs' orientation batches in one (or
+    few) device dispatches (ops/multi_sw.py), then finish each pair's
+    host-side analysis with the injected scores. Output-identical to the
+    sequential path.
+
+    This is the TPU-native replacement for grmpy's thread pool over
+    (sample × graph) (Workflow.cpp:224-231).
+    """
+    from ..align.batched_aligner import make_orientation_batches
+    from ..graph.model import SequenceGraph
+    from ..ops.multi_sw import MultiGraphSW
+    from ..reads.read import UNMAPPED
+
+    jobs = []  # (graph_desc, pp, graph, sample, reads)
+    for graph_desc in graph_descs:
+        graph = None
+        pp_proto = None
+        for sample in manifest:
+            s = copy.copy(sample)
+            if s.alignment_data is not None:
+                jobs.append((graph_desc, None, None, s, None))
+                continue
+            if graph is None:
+                pp_proto = _make_paragraph_parameters(
+                    parameters, graph_desc, reference_path, False)
+                graph = SequenceGraph.from_json(
+                    pp_proto.description, reference_path)
+            reader = readers.get(s.filename)
+            if reader is None:
+                reader = BamReader(s.filename, s.index_filename,
+                                   reference_path)
+                readers[s.filename] = reader
+            reads = extract_reads(
+                reader, pp_proto.target_regions, parameters.max_reads,
+                pp_proto.longest_alt_insertion)
+            jobs.append((graph_desc, pp_proto, graph, s, reads))
+
+    # one multi-event scoring pass over all (pair × orientation) batches
+    scoring_jobs = [j for j in jobs if j[4] is not None]
+    precomputed = {}
+    if scoring_jobs:
+        graphs = []
+        batches = []
+        for idx, (gd, pp, graph, s, reads) in enumerate(scoring_jobs):
+            live = [r for r in reads if r.bases]
+            for r in live:
+                r.graph_mapping_status = UNMAPPED
+            _, _, fwd_batch, rev_batch = make_orientation_batches(live)
+            graphs.extend([graph, graph.reversed()])
+            batches.extend([fwd_batch, rev_batch])
+        try:
+            multi = MultiGraphSW(graphs)
+            results = multi.score(batches)
+            for k, (gd, pp, graph, s, reads) in enumerate(scoring_jobs):
+                f_out = results[2 * k]
+                r_out = results[2 * k + 1]
+                precomputed[k] = (f_out[0], f_out[4], r_out[4])
+        except Exception:
+            precomputed = {}  # device path unavailable: score per event
+
+    out_jobs = []
+    for k, (gd, pp, graph, s, reads) in enumerate(scoring_jobs):
+        output = align_and_disambiguate(
+            pp, reads, graph=graph,
+            precomputed_scores=precomputed.get(k))
+        output["bam"] = s.filename
+        for key in ("alignments", "node_coverage", "path_coverage",
+                    "phasing", "variants"):
+            output.pop(key, None)
+        s.alignment_data = output
+    return jobs
+
+
 def run_grmpy(graph_descs: List[dict], reference_path: str,
               manifest: List[SampleInfo],
               genotyping_parameters: Optional[dict] = None,
-              parameters: Optional[GrmpyParameters] = None) -> List[dict]:
+              parameters: Optional[GrmpyParameters] = None,
+              batch_events: Optional[bool] = None) -> List[dict]:
     """grmpy::Workflow::run (Workflow.cpp:191-239): align every
     (sample × graph), then genotype every graph; returns the list of
-    genotyping result dicts (the genotypes.json array)."""
+    genotyping result dicts (the genotypes.json array).
+
+    batch_events=True scores all (graph × sample) pairs in one device
+    dispatch (auto: enabled for multi-event runs without alignment dumps
+    or non-default aligners).
+    """
     if parameters is None:
         parameters = GrmpyParameters()
 
-    results = []
+    if batch_events is None:
+        batch_events = (
+            len(graph_descs) > 1
+            and not parameters.alignment_output_folder
+            and not parameters.path_sequence_matching
+            and not parameters.klib_sequence_matching
+            and not parameters.kmer_sequence_matching
+            and parameters.graph_sequence_matching)
+
     readers: Dict[str, BamReader] = {}
+    results = []
+    if batch_events:
+        jobs = align_samples_batched(parameters, graph_descs,
+                                     reference_path, manifest, readers)
+        by_graph: Dict[int, List[SampleInfo]] = {}
+        order = []
+        for gd, pp, graph, s, reads in jobs:
+            key = id(gd)
+            if key not in by_graph:
+                by_graph[key] = []
+                order.append((key, gd))
+            by_graph[key].append(s)
+        for key, gd in order:
+            results.append(count_and_genotype(
+                gd, reference_path, genotyping_parameters, by_graph[key]))
+        return results
+
     for graph_desc in graph_descs:
         graph_samples = []
         for sample in manifest:

@@ -92,14 +92,18 @@ class Parameters:
 
 
 def align_and_disambiguate(parameters: Parameters,
-                           all_reads: List[Read]) -> dict:
+                           all_reads: List[Read],
+                           graph: Optional[SequenceGraph] = None,
+                           precomputed_scores=None) -> dict:
     """paragraph::alignAndDisambiguate (Disambiguation.cpp:152-361).
 
     Mutates `all_reads` to the filtered/kept set and returns the output
-    JSON dict.
+    JSON dict. `graph`/`precomputed_scores` let the cross-event batch
+    orchestrator (pipeline/grmpy.py) reuse construction and device scores.
     """
-    graph = SequenceGraph.from_json(
-        parameters.description, parameters.reference_path)
+    if graph is None:
+        graph = SequenceGraph.from_json(
+            parameters.description, parameters.reference_path)
     output = dict(parameters.description)
     output["reference"] = parameters.reference_path
 
@@ -132,7 +136,8 @@ def align_and_disambiguate(parameters: Parameters,
         parameters.graph_sequence_matching,
         parameters.klib_sequence_matching,
         parameters.kmer_sequence_matching,
-        parameters.validate_alignments, parameters.threads)
+        parameters.validate_alignments, parameters.threads,
+        precomputed_scores=precomputed_scores)
     all_reads[:] = kept
 
     if parameters.output_enabled(HAPLOTYPES):
