@@ -102,6 +102,19 @@ def parse_cigar(cigar: str) -> List[Tuple[int, str]]:
     return out
 
 
+def decode_read_alignment(read) -> "GraphAlignment":
+    """decode_graph_alignment of a Read's current mapping, memoised on the
+    (pos, cigar) pair (the host pipeline decodes each mapping ~4×:
+    filters, disambiguation, fragment counting, statistics)."""
+    memo = getattr(read, "_decoded_alignment", None)
+    if memo is not None and memo[0] == read.graph_pos \
+            and memo[1] == read.graph_cigar:
+        return memo[2]
+    decoded = decode_graph_alignment(read.graph_pos, read.graph_cigar)
+    read._decoded_alignment = (read.graph_pos, read.graph_cigar, decoded)
+    return decoded
+
+
 def decode_graph_alignment(first_node_start: int, graph_cigar: str
                            ) -> GraphAlignment:
     node_ids = []

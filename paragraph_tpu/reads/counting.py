@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Set, Tuple
 
-from ..align.alignment import decode_graph_alignment
+from ..align.alignment import decode_read_alignment
 from ..graph.coordinates import GraphCoordinates
 from .read import Read, MAPPED
 
@@ -56,7 +56,7 @@ class Fragment:
                 self.n_graph_reverse_reads += 1
             else:
                 self.n_graph_forward_reads += 1
-            mapping = decode_graph_alignment(read.graph_pos, read.graph_cigar)
+            mapping = decode_read_alignment(read)
             self._read_positions.append(coordinates.canonical_start_and_end(
                 mapping.node_ids, mapping.path_start, mapping.path_end))
             self._read_lengths.append(mapping.query_length)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Set, Tuple
 
-from ..align.alignment import GraphAlignment, decode_graph_alignment
+from ..align.alignment import GraphAlignment, decode_read_alignment
 from ..graph.model import SequenceGraph
 from .read import Read, MAPPED
 
@@ -110,7 +110,7 @@ def disambiguate_reads(graph: SequenceGraph, reads: List[Read],
         read.graph_edges_supported = []
         if read.graph_mapping_status != MAPPED:
             continue
-        gm = decode_graph_alignment(read.graph_pos, read.graph_cigar)
+        gm = decode_read_alignment(read)
         path = gm.node_ids
         edges_supported: Set[Tuple[str, str]] = set()
         nodes_supported: Set[int] = set()

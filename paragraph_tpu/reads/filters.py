@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-from ..align.alignment import decode_graph_alignment
+from ..align.alignment import decode_graph_alignment, decode_read_alignment
 from ..graph.model import SequenceGraph
 from ..utils.numerics import c_round
 from .read import Read
@@ -31,7 +31,7 @@ class BadAlignFilter:
         self.bad_align_frac = bad_align_frac
 
     def filter_read(self, read: Read) -> Tuple[bool, str]:
-        mapping = decode_graph_alignment(read.graph_pos, read.graph_cigar)
+        mapping = decode_read_alignment(read)
         query_clipped = sum(a.num_clipped for a in mapping.alignments)
         query_aligned = mapping.query_length - query_clipped
         is_bad = query_aligned < c_round(
@@ -55,7 +55,7 @@ class KmerFilter:
         self.index = KmerIndex(graph, kmer_len)
 
     def filter_read(self, read: Read) -> Tuple[bool, str]:
-        alignment = decode_graph_alignment(read.graph_pos, read.graph_cigar)
+        alignment = decode_read_alignment(read)
         if len(alignment) < 1:
             return True, "kmer_nomapping"
         sc_left = alignment.alignments[0].num_clipped

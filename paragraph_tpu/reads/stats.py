@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from typing import Dict, List
 
-from ..align.alignment import decode_graph_alignment
+from ..align.alignment import decode_read_alignment
 from ..graph.model import SequenceGraph
 from .read import Read, MAPPED
 
@@ -109,7 +109,7 @@ def summarize_alignments(graph: SequenceGraph, reads: List[Read],
     for read in reads:
         if read.graph_mapping_status != MAPPED:
             continue
-        ga = decode_graph_alignment(read.graph_pos, read.graph_cigar)
+        ga = decode_read_alignment(read)
         pred_node_id = None
         for idx, aln in enumerate(ga.alignments):
             current_node_id = ga.node_ids[idx]
