@@ -161,3 +161,39 @@ def test_batched_genotyping_matches_scalar():
         for gi, gt in enumerate(model["gts"]):
             ref_gl = dict(zip(ref_gt.gl_name, ref_gt.gl))[gt]
             assert float(gl[i, gi]) == pytest.approx(ref_gl, rel=1e-4)
+
+
+def test_population_statistics_reference_values():
+    """test_popstats.cpp:28-87 exact expectations."""
+    alleles = ["REF", "ALT"]
+
+    def gt(pair):
+        g = Genotype()
+        g.gt = list(pair)
+        return g
+
+    gs = GenotypeSet()
+    for _ in range(83):
+        gs.add(alleles, gt((0, 0)))
+    ps0 = PopulationStatistics(gs)
+    assert ps0.chisq_pvalue() == 1.0
+
+    for _ in range(13):
+        gs.add(alleles, gt((0, 1)))
+    for _ in range(4):
+        gs.add(alleles, gt((1, 1)))
+    ps1 = PopulationStatistics(gs)
+    assert ps1.chisq_pvalue() == pytest.approx(
+        0.0020474148859159769, rel=1e-9)
+    assert ps1.fisher_exact_pvalue() == pytest.approx(
+        0.010293433548874801, rel=1e-12)
+
+    multi = ["REF", "ALT1", "ALT2"]
+    gs2 = GenotypeSet()
+    for count, pair in ((24, (0, 0)), (31, (0, 1)), (10, (1, 1)),
+                        (19, (0, 2)), (11, (1, 2)), (5, (2, 2))):
+        for _ in range(count):
+            gs2.add(multi, gt(pair))
+    ps2 = PopulationStatistics(gs2)
+    assert ps2.chisq_pvalue() == pytest.approx(
+        0.50000945615245529, rel=1e-9)
