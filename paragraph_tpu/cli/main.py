@@ -28,6 +28,29 @@ def _load_json(path):
         return json.load(f)
 
 
+def _add_logging_args(p):
+    """Shared logging options (common::Options base, Program.cpp:54-61)."""
+    p.add_argument("--log-level", default="info",
+                   choices=["trace", "debug", "info", "warning", "error"])
+    p.add_argument("--log-file", default="")
+    p.add_argument("--log-async", default="yes",
+                   help="accepted for compatibility; no-op")
+
+
+def _setup_logging(args):
+    import logging
+
+    level = {"trace": logging.DEBUG, "debug": logging.DEBUG,
+             "info": logging.INFO, "warning": logging.WARNING,
+             "error": logging.ERROR}[args.log_level]
+    handlers = None
+    if args.log_file:
+        handlers = [logging.FileHandler(args.log_file)]
+    logging.basicConfig(
+        level=level, handlers=handlers,
+        format="[%(asctime)s] [%(name)s] [%(levelname)s] %(message)s")
+
+
 def cmd_multigrmpy(argv):
     """multigrmpy.py equivalent (end-to-end VCF/JSON → genotypes)."""
     from ..pipeline.multigrmpy import MultigrmpyOptions, run
@@ -56,7 +79,9 @@ def cmd_multigrmpy(argv):
     p.add_argument("--path-sequence-matching", action="store_true")
     p.add_argument("--graph-sequence-matching", default=True)
     p.add_argument("--bad-align-uniq-kmer-len", type=int, default=0)
+    _add_logging_args(p)
     args = p.parse_args(argv)
+    _setup_logging(args)
 
     gt_params = None
     if args.genotyping_parameters:
@@ -110,7 +135,11 @@ def cmd_grmpy(argv):
     p.add_argument("-z", "--gzip-output", action="store_true")
     p.add_argument("-A", "--alignment-output-folder", default="")
     p.add_argument("--infer-read-haplotypes", action="store_true")
+    p.add_argument("--progress", action="store_true",
+                   help="periodic N/M-events-done progress lines")
+    _add_logging_args(p)
     args = p.parse_args(argv)
+    _setup_logging(args)
 
     graphs = [_load_json(g) for g in args.graph_spec]
     manifest = load_manifest(args.manifest)
@@ -123,6 +152,7 @@ def cmd_grmpy(argv):
         bad_align_uniq_kmer_len=args.bad_align_uniq_kmer_len,
         alignment_output_folder=args.alignment_output_folder.lstrip("!"),
         infer_read_haplotypes=args.infer_read_haplotypes,
+        progress=args.progress,
     )
     results = run_grmpy(graphs, args.reference, manifest, gt_params,
                         parameters)

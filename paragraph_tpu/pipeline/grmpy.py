@@ -9,7 +9,11 @@ samples.
 from __future__ import annotations
 
 import copy
+import logging
+import time
 from typing import Dict, List, Optional
+
+logger = logging.getLogger("grmpy")
 
 from ..genotyping.graph_genotyper import GraphBreakpointGenotyper
 from ..genotyping.sample_info import SampleInfo
@@ -32,7 +36,8 @@ class GrmpyParameters:
                  kmer_sequence_matching: bool = False,
                  bad_align_uniq_kmer_len: int = 0,
                  alignment_output_folder: str = "",
-                 infer_read_haplotypes: bool = False):
+                 infer_read_haplotypes: bool = False,
+                 progress: bool = False):
         self.threads = threads
         self.max_reads = max_reads
         self.bad_align_frac = bad_align_frac
@@ -43,6 +48,7 @@ class GrmpyParameters:
         self.bad_align_uniq_kmer_len = bad_align_uniq_kmer_len
         self.alignment_output_folder = alignment_output_folder
         self.infer_read_haplotypes = infer_read_haplotypes
+        self.progress = progress
 
 
 def align_single_sample(parameters: GrmpyParameters, graph_desc: dict,
@@ -271,6 +277,19 @@ def run_grmpy(graph_descs: List[dict], reference_path: str,
             and not parameters.kmer_sequence_matching
             and parameters.graph_sequence_matching)
 
+    # grmpy --progress (Workflow.cpp:114-120,173-179): periodic
+    # "N/M events done" lines, throttled to one every 10s plus a final one.
+    progress_state = {"last": time.monotonic()}
+    total_events = len(graph_descs)
+
+    def report_progress(done: int) -> None:
+        if not parameters.progress:
+            return
+        now = time.monotonic()
+        if done == total_events or now - progress_state["last"] >= 10.0:
+            progress_state["last"] = now
+            logger.info("[progress] %d/%d events done", done, total_events)
+
     readers: Dict[str, BamReader] = {}
     results = []
     if batch_events:
@@ -287,6 +306,7 @@ def run_grmpy(graph_descs: List[dict], reference_path: str,
         for key, gd in order:
             results.append(count_and_genotype(
                 gd, reference_path, genotyping_parameters, by_graph[key]))
+            report_progress(len(results))
         return results
 
     for graph_desc in graph_descs:
@@ -305,4 +325,5 @@ def run_grmpy(graph_descs: List[dict], reference_path: str,
         results.append(count_and_genotype(
             graph_desc, reference_path, genotyping_parameters,
             graph_samples))
+        report_progress(len(results))
     return results
