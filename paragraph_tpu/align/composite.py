@@ -117,11 +117,18 @@ def align_reads(graph: SequenceGraph, paths, reads: List[Read],
     cross-event scoring pass (pipeline/grmpy.py batch mode).
     """
     if engine == "batched" and graph_matching and not (
-            klib_matching or kmer_matching):
+            validate_alignments or klib_matching or kmer_matching):
         return _align_reads_batched(graph, paths, reads, filt,
                                     path_matching, precomputed_scores)
     aligner = CompositeAligner(path_matching, graph_matching,
                                klib_matching, kmer_matching)
+    if validate_alignments:
+        # paragraph --validate (Align.cpp:118-123): wrap the cascade so
+        # every alignment is checked against the truth path encoded in the
+        # simulated read name; summary table goes to the log.
+        from .validation import ValidationAligner
+
+        aligner = ValidationAligner(aligner, graph, paths)
     aligner.set_graph(graph, paths)
     kept: List[Read] = []
     for read in reads:
@@ -131,6 +138,11 @@ def align_reads(graph: SequenceGraph, paths, reads: List[Read],
         aligner.align_read(read, filt)
         if read.graph_mapping_status == MAPPED:
             kept.append(read)
+    if validate_alignments:
+        import logging
+
+        for line in aligner.report():
+            logging.getLogger("paragraph").info(line)
     return kept
 
 

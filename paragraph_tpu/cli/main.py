@@ -179,7 +179,13 @@ def cmd_paragraph(argv):
     p.add_argument("--bad-align-frac", type=float, default=0.8)
     p.add_argument("--path-sequence-matching", action="store_true")
     p.add_argument("--graph-sequence-matching", default=True)
+    p.add_argument("--validate", action="store_true",
+                   help="validate alignments against truth paths encoded "
+                        "in simulated read names (see docs/validation-"
+                        "with-simulated-reads.md)")
+    _add_logging_args(p)
     args = p.parse_args(argv)
+    _setup_logging(args)
 
     parameters = Parameters(
         max_reads=args.max_reads,
@@ -187,6 +193,7 @@ def cmd_paragraph(argv):
         min_frac_for_variant=args.variant_min_frac,
         bad_align_frac=args.bad_align_frac,
         path_sequence_matching=args.path_sequence_matching,
+        validate_alignments=args.validate,
     )
     parameters.load(_load_json(args.graph_spec), args.reference,
                     args.target_regions)

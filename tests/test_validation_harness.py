@@ -45,3 +45,22 @@ def test_simulated_reads_validation():
     assert aligner.mismapped <= 0.02 * aligner.aligned
     report = aligner.report()
     assert report[0].startswith("[VALIDATION]")
+
+
+def test_align_reads_validate_path(caplog):
+    import logging
+
+    from paragraph_tpu.align.composite import align_reads
+
+    g, paths = _swap_graph()
+    reads = []
+    for name, bases in simulate_reads_from_graph(
+            g, paths, read_length=80, depth=2, error_rate=0.0):
+        r = Read(fragment_id=name, bases=bases)
+        r.graph_mapping_status = UNMAPPED
+        reads.append(r)
+    with caplog.at_level(logging.INFO, logger="paragraph"):
+        kept = align_reads(g, paths, reads, None, False, True, False,
+                           False, validate_alignments=True)
+    assert len(kept) > 0.9 * len(reads)
+    assert any("[VALIDATION]" in rec.message for rec in caplog.records)
