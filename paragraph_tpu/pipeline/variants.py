@@ -37,9 +37,11 @@ class RefVar:
         return f"{self.start}-{self.end}:{self.alt}"
 
 
-def cigar_to_refvar(refseq: str, altseq: str, cigar: str
+def cigar_to_refvar(refseq: str, altseq: str, cigar: str,
+                    ref_matches: bool = True
                     ) -> Tuple[List[RefVar], int, int]:
-    """cigarToRefVar with ref_matches=True (RefVar.cpp:668-777).
+    """cigarToRefVar (RefVar.cpp:668-777); ref_matches=True adds
+    ref-matching records with "." as the alt.
 
     Returns (variants, ref_left, alt_left). 'N' operations raise (as the
     reference's error() does; callers skip such reads).
@@ -67,7 +69,7 @@ def cigar_to_refvar(refseq: str, altseq: str, cigar: str
                         ref_match_count = 0
                     result.append(RefVar(refpos, refpos, altseq[altpos],
                                          altpos))
-                else:
+                elif ref_matches:
                     ref_match_count += 1
                 refpos += 1
                 altpos += 1
@@ -121,10 +123,11 @@ def _span(ref: str, rv: RefVar) -> str:
 
 
 def left_shift(ref: str, rv: RefVar, pos_min: int):
-    """leftShift (RefVar.cpp:108-166)."""
+    """leftShift (RefVar.cpp:108-166); trims keep the VCF padding base
+    (refpadding defaults to true, RefVar.hh:136-138)."""
     pos_min = max(pos_min, 0)
-    _trim_left(_span(ref, rv), rv)
-    _trim_right(_span(ref, rv), rv)
+    _trim_left(_span(ref, rv), rv, True)
+    _trim_right(_span(ref, rv), rv, True)
     reflen = rv.end - rv.start + 1
     if reflen < 0 and not rv.alt:
         return
@@ -149,16 +152,16 @@ def left_shift(ref: str, rv: RefVar, pos_min: int):
             rv.start -= 1
             rv.alt = ref[rv.start] + rv.alt
             done = False
-    _trim_left(_span(ref, rv), rv)
-    _trim_right(_span(ref, rv), rv)
+    _trim_left(_span(ref, rv), rv, True)
+    _trim_right(_span(ref, rv), rv, True)
 
 
 def right_shift(ref: str, rv: RefVar, pos_max: Optional[int] = None):
     """rightShift (RefVar.cpp:169-227)."""
     if pos_max is None:
         pos_max = 2 ** 62
-    _trim_left(_span(ref, rv), rv)
-    _trim_right(_span(ref, rv), rv)
+    _trim_left(_span(ref, rv), rv, True)
+    _trim_right(_span(ref, rv), rv, True)
     reflen = rv.end - rv.start + 1
     if reflen < 0 and not rv.alt:
         return
@@ -184,8 +187,8 @@ def right_shift(ref: str, rv: RefVar, pos_max: Optional[int] = None):
             rv.end += 1
             rv.alt = rv.alt + ref[refnext:refnext + 1]
             done = False
-    _trim_left(_span(ref, rv), rv)
-    _trim_right(_span(ref, rv), rv)
+    _trim_left(_span(ref, rv), rv, True)
+    _trim_right(_span(ref, rv), rv, True)
 
 
 class PileupData:
