@@ -197,3 +197,15 @@ def test_population_statistics_reference_values():
     ps2 = PopulationStatistics(gs2)
     assert ps2.chisq_pvalue() == pytest.approx(
         0.50000945615245529, rel=1e-9)
+
+
+def test_genotype_relabel():
+    """test_genotype.cpp:27-46 (Genotype.Relabel)."""
+    variant = Genotype()
+    variant.gt = [0, 1]
+    variant.gl_name = [(0, 0), (0, 1), (1, 1)]
+    variant.relabel([1, 3])
+    assert variant.to_string() == "1/3"
+    assert variant.gl_name[0] == (1, 1)
+    assert variant.gl_name[1] == (1, 3)
+    assert variant.gl_name[2] == (3, 3)
