@@ -138,11 +138,19 @@ def align_reads(graph: SequenceGraph, paths, reads: List[Read],
         aligner.align_read(read, filt)
         if read.graph_mapping_status == MAPPED:
             kept.append(read)
-    if validate_alignments:
-        import logging
+    import logging
 
+    log = logging.getLogger("paragraph")
+    if validate_alignments:
         for line in aligner.report():
-            logging.getLogger("paragraph").info(line)
+            log.info(line)
+    counters = aligner.aligner if validate_alignments else aligner
+    # per-chunk aligner hit-rate summary (Align.cpp:33-40)
+    log.info(
+        "[Done with alignment step] %d total aligned "
+        "(exact: %d / kmers: %d / sw: %d) ; %d were filtered",
+        len(kept), counters.mapped_path, counters.mapped_kmers,
+        counters.mapped_sw, counters.filtered)
     return kept
 
 
@@ -175,10 +183,21 @@ def _align_reads_batched(graph: SequenceGraph, paths, reads: List[Read],
     # the same second chance the CompositeAligner gives them)
     stage2 = [r for r in needs_graph if r.graph_mapping_status != MAPPED]
     batched.align_reads_batch(stage2, precomputed=precomputed_scores)
+    n_filtered = 0
     for read in stage2:
         read.graph_mapping_status = MAPPED
         if filt and filt(read):
             read.graph_mapping_status = BAD_ALIGN
+            n_filtered += 1
 
-    return [r for r in reads
+    kept = [r for r in reads
             if r.bases and r.graph_mapping_status == MAPPED]
+    import logging
+
+    # per-chunk aligner hit-rate summary (Align.cpp:33-40)
+    n_sw = sum(1 for r in stage2 if r.graph_mapping_status == MAPPED)
+    logging.getLogger("paragraph").info(
+        "[Done with alignment step] %d total aligned "
+        "(exact: %d / kmers: 0 / sw: %d) ; %d were filtered",
+        len(kept), len(kept) - n_sw, n_sw, n_filtered)
+    return kept
