@@ -1,0 +1,82 @@
+"""Port of the reference's test_klibaligner.cpp expectations (linear SW
+against enumerated path sequences, incl. full clipping of flank nodes)."""
+from paragraph_tpu.align.klib_aligner import KlibAligner
+from paragraph_tpu.graph.model import SequenceGraph
+from paragraph_tpu.reads.disambig import disambiguate_reads
+from paragraph_tpu.reads.read import Read, MAPPED, UNMAPPED
+
+
+def _fixture():
+    reads = [
+        Read(fragment_id="f1", bases="AAAAAAAATTTTTTTTAAAAAAAA",
+             quals="#" * 24),
+        Read(fragment_id="f2", bases="TTTTTTAAAAAAAATTTTTTT",
+             quals="#" * 21),
+        Read(fragment_id="f3", bases="AAAAAGGGGGGGGAAAAAA", quals="#" * 19),
+        Read(fragment_id="f4", bases="AAAAGGGGGGGGAAAAAA", quals="#" * 18),
+        Read(fragment_id="f5", bases="TTTTTTCCCCCCCCTTTTT", quals="#" * 19),
+        Read(fragment_id="f7", bases="TTTTTTCCCCCCCCGGGGG", quals="#" * 19),
+        Read(fragment_id="f8", bases="GGGGGGCCCCCCCCTTTTT", quals="#" * 19),
+    ]
+    g = SequenceGraph(["LF", "P1", "Q1", "RF"],
+                      ["AAAAAAAAAAA", "TTTTTTTT", "GGGGGGGG",
+                       "AAAAAAAAAAA"])
+    for f, t in [(0, 1), (0, 2), (0, 3), (1, 3), (2, 3)]:
+        g.add_edge(f, t)
+    g.add_label_to_edge(0, 1, "P")
+    g.add_label_to_edge(1, 3, "P")
+    g.add_label_to_edge(0, 2, "Q")
+    g.add_label_to_edge(2, 3, "Q")
+    g.add_label_to_edge(0, 3, "D")
+
+    aligner = KlibAligner()
+    aligner.set_graph(g, [[0, 1, 3], [0, 2, 3], [0, 3]])
+    for read in reads:
+        read.graph_mapping_status = UNMAPPED
+        aligner.align_read(read)
+    disambiguate_reads(g, reads, use_node_filter=False,
+                       use_edge_filter=False)
+    return reads
+
+
+EXPECTED = [
+    # fragment, bases after strand pick, pos, cigar, score, reverse,
+    # nodes, edges, sequences
+    ("f1", "AAAAAAAATTTTTTTTAAAAAAAA", 3, "0[8M]1[8M]3[8M]", 24, False,
+     ["LF", "P1", "RF"], ["LF_P1", "P1_RF"], ["P"]),
+    ("f2", "AAAAAAATTTTTTTTAAAAAA", 4, "0[7M]1[8M]3[6M]", 21, True,
+     ["LF", "P1", "RF"], ["LF_P1", "P1_RF"], ["P"]),
+    ("f3", "AAAAAGGGGGGGGAAAAAA", 6, "0[5M]2[8M]3[6M]", 19, False,
+     ["LF", "Q1", "RF"], ["LF_Q1", "Q1_RF"], ["Q"]),
+    ("f4", "AAAAGGGGGGGGAAAAAA", 7, "0[4M]2[8M]3[6M]", 18, False,
+     ["LF", "Q1", "RF"], ["LF_Q1", "Q1_RF"], ["Q"]),
+    ("f5", "AAAAAGGGGGGGGAAAAAA", 6, "0[5M]2[8M]3[6M]", 19, True,
+     ["LF", "Q1", "RF"], ["LF_Q1", "Q1_RF"], ["Q"]),
+    # full clipping of flank nodes: alignment starts inside Q1 / ends
+    # inside Q1
+    ("f7", "CCCCCGGGGGGGGAAAAAA", 0, "2[5S8M]3[6M]", 14, True,
+     ["Q1", "RF"], ["Q1_RF"], ["Q"]),
+    ("f8", "AAAAAGGGGGGGGCCCCCC", 6, "0[5M]2[8M6S]", 13, True,
+     ["LF", "Q1"], ["LF_Q1"], ["Q"]),
+]
+
+
+def test_klib_aligner_aligns():
+    """KlibAlignerTest.Aligns (test_klibaligner.cpp:149-196)."""
+    reads = _fixture()
+    assert len(reads) == 7
+    for read, (fid, bases, pos, cigar, score, rev, nodes, edges,
+               seqs) in zip(reads, EXPECTED):
+        assert read.fragment_id == fid
+        assert read.bases == bases, fid
+        assert read.graph_mapping_status == MAPPED, fid
+        assert read.graph_cigar == cigar, fid
+        if fid != "f7":  # f7's expected JSON omits graphPos (== 0)
+            assert read.graph_pos == pos, fid
+        assert read.graph_mapq == 60, fid
+        assert read.graph_alignment_score == score, fid
+        assert read.is_graph_alignment_unique, fid
+        assert read.is_graph_reverse_strand == rev, fid
+        assert read.graph_nodes_supported == nodes, fid
+        assert read.graph_edges_supported == edges, fid
+        assert read.graph_sequences_supported == seqs, fid
