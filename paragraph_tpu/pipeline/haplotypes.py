@@ -76,7 +76,27 @@ def check_prefix_suffix_overlap(p1: LitePath, p2: LitePath) -> bool:
             shared += 1
             i1 += 1
             i2 += 1
-    return shared > 0
+    if shared == 0:
+        return False
+    if shared == 1:
+        # single shared node: the paths must also overlap in offsets there
+        # (PathOperations.cpp:393-446)
+        if i1 == len(p1.nodes) and i2 == len(p2.nodes):
+            if len(p1.nodes) == 1 and len(p2.nodes) > 1:
+                if p2.end < p1.start:
+                    return False
+            elif len(p1.nodes) > 1 and len(p2.nodes) == 1:
+                if p1.end < p2.start:
+                    return False
+            elif len(p1.nodes) == 1 and len(p2.nodes) == 1:
+                return p1.end >= p2.start and p2.end >= p1.start
+        elif i1 < len(p1.nodes):
+            if p2.end < p1.start:
+                return False
+        else:
+            if p1.end < p2.start:
+                return False
+    return True
 
 
 def check_paths_adjacent(graph: SequenceGraph, p1: LitePath,
