@@ -152,19 +152,23 @@ def main():
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--device-worker"],
-            capture_output=True, text=True, timeout=900)
+            capture_output=True, text=True, timeout=700)
         for line in proc.stdout.splitlines():
             if line.startswith("DEVICE_RESULT "):
                 device_cells_per_s = float(line.split()[1])
     except (subprocess.TimeoutExpired, OSError):
         pass
     if device_cells_per_s is None:
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        # PALLAS_AXON_POOL_IPS="" keeps sitecustomize from dialing the
+        # device tunnel at interpreter start (it can hang when the relay
+        # is down — the reason this fallback exists)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PALLAS_AXON_POOL_IPS="")
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--device-worker"],
-                capture_output=True, text=True, timeout=900, env=env)
+                capture_output=True, text=True, timeout=400, env=env)
             for line in proc.stdout.splitlines():
                 if line.startswith("DEVICE_RESULT "):
                     device_cells_per_s = float(line.split()[1])
