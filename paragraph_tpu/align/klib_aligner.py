@@ -25,10 +25,19 @@ GAP_OPEN = 5
 GAP_EXTEND = 1
 
 
-def linear_sw(ref: str, query: str):
+def linear_sw(ref: str, query: str, match: int = MATCH,
+              mismatch: int = MISMATCH, gap_open: int = GAP_OPEN,
+              gap_extend: int = GAP_EXTEND):
     """Affine local SW returning (score, r0, r1, a0, a1, cigar ops) with
     ksw-style semantics (gap cost = gapO + k*gapE for k bases, i.e. first
-    gap base costs gapO+gapE)."""
+    gap base costs gapO+gapE). Defaults are grm::KlibAligner's scores
+    (KlibAligner.cpp:138-142); the generic common::Alignment klib wrapper
+    uses (2, 2, 3, 1) (Alignment.hh:43-44).
+
+    N bases score 0 against everything (AlignmentParameters subs_mat
+    N row/column, Alignment.hh:47-53)."""
+    MATCH, MISMATCH = match, mismatch
+    GAP_OPEN, GAP_EXTEND = gap_open, gap_extend
     n, m = len(ref), len(query)
     NEG = -(10 ** 9)
     H = np.zeros((n + 1, m + 1), dtype=np.int32)
@@ -42,7 +51,12 @@ def linear_sw(ref: str, query: str):
                           H[i - 1][j] - GAP_OPEN - GAP_EXTEND)
             F[i][j] = max(F[i][j - 1] - GAP_EXTEND,
                           H[i][j - 1] - GAP_OPEN - GAP_EXTEND)
-            s = MATCH if ref[i - 1] == query[j - 1] else -MISMATCH
+            if ref[i - 1] == "N" or query[j - 1] == "N":
+                s = 0
+            elif ref[i - 1] == query[j - 1]:
+                s = MATCH
+            else:
+                s = -MISMATCH
             h = max(0, H[i - 1][j - 1] + s, E[i][j], F[i][j])
             H[i][j] = h
             if h > best:
@@ -65,7 +79,12 @@ def linear_sw(ref: str, query: str):
         if state == "H":
             if H[i][j] == 0:
                 break
-            s = MATCH if ref[i - 1] == query[j - 1] else -MISMATCH
+            if ref[i - 1] == "N" or query[j - 1] == "N":
+                s = 0
+            elif ref[i - 1] == query[j - 1]:
+                s = MATCH
+            else:
+                s = -MISMATCH
             if H[i][j] == H[i - 1][j - 1] + s:
                 push("M")
                 i -= 1

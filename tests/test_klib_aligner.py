@@ -80,3 +80,39 @@ def test_klib_aligner_aligns():
         assert read.graph_nodes_supported == nodes, fid
         assert read.graph_edges_supported == edges, fid
         assert read.graph_sequences_supported == seqs, fid
+
+
+def test_linear_sw_klib_basic_and_indel():
+    """test_align.cpp KlibBasic (:38-68) + KlibIndel (:70-133) with the
+    common::Alignment klib defaults (match 2, mismatch -2, gapo 3,
+    gape 1)."""
+    from paragraph_tpu.align.klib_aligner import linear_sw
+
+    # KlibBasic: TGGGA vs AAATGACGGATTG -> 3 matched, 2 soft-clipped
+    score, r0, r1, a0, a1, ops = linear_sw(
+        "AAATGACGGATTG", "TGGGA", 2, 2, 3, 1)
+    matches = sum(n for n, op in ops if op == "M")
+    assert matches == 3
+    assert a0 == 2 and a1 == 4  # 2 clipped at the front, 0 at the back
+
+    # KlibIndel: ref del / alt ins
+    score, r0, r1, a0, a1, ops = linear_sw(
+        "AAATGACGGATTG", "AAATGACCACCAGGATTG", 2, 2, 3, 1)
+    assert (r0, r1, a0, a1) == (0, 12, 0, 17)
+    assert ops == [(7, "M"), (5, "I"), (6, "M")]
+
+    # ref ins / alt del
+    score, r0, r1, a0, a1, ops = linear_sw(
+        "AAATGACCACCAGGATTG", "AAATGACGGATTG", 2, 2, 3, 1)
+    assert (r0, r1, a0, a1) == (0, 17, 0, 12)
+    assert ops == [(7, "M"), (5, "D"), (6, "M")]
+
+    # complex: same span and op totals as the reference's
+    # "9M3I2M1D7M" (gap placement differs only among co-optimal paths)
+    score, r0, r1, a0, a1, ops = linear_sw(
+        "AAATGACGGGGCATTGCCA", "AAATGACCACCAGGATTGCCA", 2, 2, 3, 1)
+    assert (r0, r1, a0, a1) == (0, 18, 0, 20)
+    totals = {}
+    for n, op in ops:
+        totals[op] = totals.get(op, 0) + n
+    assert totals == {"M": 18, "I": 3, "D": 1}
