@@ -89,3 +89,18 @@ def test_region():
     r = Region.from_string("chr1:100-200")
     assert r.extended(150) == Region("chr1", 1, 350)
     assert str(r) == "chr1:100-200"
+
+
+def test_fasta_reference_expectations():
+    """test_fasta.cpp:39-71 on the reference's chrQ.fa fixture."""
+    from paragraph_tpu.io.fasta import FastaFile
+
+    f = FastaFile("/root/reference/share/test-data/misc/chrQ.fa")
+    assert f.query("chrQ:5-9") == "CCAAA"
+    assert f.query("chrS:151") == ""  # past contig end
+    assert f.query("chrT:50-120") == (
+        "TTCAGTGTTCTTTTTACTTAAGCCTTCTTTCTGGTACGTATGAGGTGTGCTGTCATACGT"
+        "ATGTCGTTATT")
+    assert f.query("chrT:50-200") == (
+        "TTCAGTGTTCTTTTTACTTAAGCCTTCTTTCTGGTACGTATGAGGTGTGCTGTCATACGT"
+        "ATGTCGTTATTTCTCTTTTCAGATTAGTCATGTCCCTAATT")
