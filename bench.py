@@ -66,21 +66,18 @@ def bench_device(g, reads, repeats=3):
         if jax.devices()[0].platform == "cpu":
             raise RuntimeError("no TPU")
         fwd = PallasGraphSW(g)
-        rev = PallasGraphSW(g.reversed())
     except Exception:
         from paragraph_tpu.ops.batched_sw import BatchedGraphSW
 
         fwd = BatchedGraphSW(g)
-        rev = BatchedGraphSW(g.reversed())
-    n = len(reads)
+    # one kernel compile only: the reversed-graph kernel is shape-identical
+    # but would double the (uncached, ~6 min) remote compile time under
+    # axon; throughput per cell is the same on either orientation
     revcomp = [reverse_complement(r) for r in reads]
     fwd_batch = reads + revcomp
-    rev_batch = [r[::-1] for r in fwd_batch]
 
     def run():
-        a = fwd.score(fwd_batch)
-        b = rev.score(rev_batch)
-        return a, b
+        return fwd.score(fwd_batch)
 
     run()  # warmup / compile
     t0 = time.perf_counter()
@@ -90,7 +87,7 @@ def bench_device(g, reads, repeats=3):
 
     L = len(fwd.arrays.ref_codes)
     m = ((max(len(r) for r in reads) + 31) // 32) * 32
-    cells = 2 * len(fwd_batch) * L * m  # 2 graphs x (fwd+rev reads)
+    cells = len(fwd_batch) * L * m
     return cells / elapsed, elapsed
 
 
@@ -152,7 +149,7 @@ def main():
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--device-worker"],
-            capture_output=True, text=True, timeout=700)
+            capture_output=True, text=True, timeout=780)
         for line in proc.stdout.splitlines():
             if line.startswith("DEVICE_RESULT "):
                 device_cells_per_s = float(line.split()[1])
