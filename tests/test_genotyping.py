@@ -209,3 +209,16 @@ def test_genotype_relabel():
     assert variant.gl_name[0] == (1, 1)
     assert variant.gl_name[1] == (1, 3)
     assert variant.gl_name[2] == (3, 3)
+
+
+def test_genotyping_parameters_set_from_json():
+    """test_genotyping_parameter.cpp:25-50: allele_names reorder remaps
+    per-allele error rates; genotype count unchanged."""
+    param = GenotypingParameters(["REF", "ALT1", "ALT2"], 2)
+    param.set_from_json({
+        "allele_names": ["ALT1", "REF", "ALT2"],
+        "allele_error_rates": [0.1, 0.04, 0.1],
+        "het_haplotype_fractions": [0.33, 0.33, 0.33],
+    })
+    assert len(param.possible_genotypes) == 6
+    assert param.allele_error_rates == [0.04, 0.1, 0.1]
