@@ -24,7 +24,9 @@ def variance_population(nums: Sequence[float]) -> float:
 
 
 class NaiveGaussian:
-    """statistics::NaiveGaussian: plain mean/variance fit."""
+    """statistics::NaiveGaussian: plain mean/variance fit. Variance is the
+    sample variance (basics::one_pass_mean_var divides by n-1,
+    Basics.hh:118-139)."""
 
     def __init__(self):
         self.mean = float("nan")
@@ -32,14 +34,37 @@ class NaiveGaussian:
 
     def fit(self, nums: Sequence[float]):
         self.mean = mean(nums)
-        self.variance = variance_population(nums)
+        n = len(nums)
+        self.variance = (variance_population(nums) * n / (n - 1)
+                         if n > 1 else 0.0)
+
+    def standard_deviation(self) -> float:
+        return math.sqrt(self.variance)
+
+
+# chi²(1 dof) complement quantiles, the static factors in
+# MinCovDetGaussian.cpp:241-252 (boost::math::quantile(complement(...)))
+_CHI2_1_MEDIAN = 0.45493642311957424  # isf(0.5)
+_CHI2_1_MASK = 5.023886187314888      # isf(0.025)
+
+
+def _median(nums: Sequence[float]) -> float:
+    """basics::median (Basics.hh:52-82): sorted midpoint, mean of the two
+    middle elements for even sizes."""
+    s = sorted(nums)
+    n = len(s)
+    if n % 2:
+        return float(s[n // 2])
+    return 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
 class MinCovDetGaussian:
-    """statistics::MinCovDetGaussian (MinCovDetGaussian.cpp:44-230):
-    univariate MCD — find the shortest contiguous n_support window of the
-    sorted data, take its midpoint mean, then refit on the n_support
-    points closest to that mean."""
+    """statistics::MinCovDetGaussian (MinCovDetGaussian.cpp:44-266):
+    univariate MCD — raw fit on the shortest contiguous n_support window
+    of the sorted data, then sklearn-style chi² reweighting: squared
+    z-scores are scaled so their median matches the chi²(1) median, and
+    the final mean/variance are refit on the observations whose corrected
+    z² pass the 97.5% chi²(1) mask."""
 
     def __init__(self, raw_support_frac: float = 0.5):
         if not (0.5 <= raw_support_frac <= 1):
@@ -47,7 +72,12 @@ class MinCovDetGaussian:
         self.raw_support_frac = raw_support_frac
         self.mean = float("nan")
         self.variance = float("nan")
+        self.raw_mean = float("nan")
+        self.raw_variance = float("nan")
         self.support: List[float] = []
+
+    def raw_support_fraction(self) -> float:
+        return self.raw_support_frac
 
     def fit(self, nums: Sequence[float]):
         n = len(nums)
@@ -61,15 +91,32 @@ class MinCovDetGaussian:
             ]
             min_diff = min(diffs)
             idxs = [i for i, d in enumerate(diffs) if d == min_diff]
-            self.mean = 0.5 * mean([
+            self.raw_mean = 0.5 * mean([
                 sorted_nums[i] + sorted_nums[i + n_support] for i in idxs])
             order = sorted(range(n),
-                           key=lambda i: abs(nums[i] - self.mean))
-            self.support = [nums[i] for i in order[:n_support]]
+                           key=lambda i: abs(nums[i] - self.raw_mean))
+            var_nums = [nums[i] for i in order[:n_support]]
+            self.raw_variance = variance_population(var_nums)
         else:
-            self.support = list(nums)
+            self.raw_mean = mean(nums)
+            self.raw_variance = variance_population(nums)
+
+        # chi² reweighting (MinCovDetGaussian.cpp:237-266)
+        if self.raw_variance > 0:
+            z2 = [(x - self.raw_mean) ** 2 / self.raw_variance
+                  for x in nums]
+        else:
+            z2 = [0.0 for _ in nums]
+        correction = _median(z2) / _CHI2_1_MEDIAN
+        self.support = [
+            x for x, z in zip(nums, z2)
+            if correction > 0 and abs(z / correction) < _CHI2_1_MASK]
+        if self.support:
             self.mean = mean(self.support)
-        self.variance = variance_population(self.support)
+            self.variance = variance_population(self.support)
+        else:
+            self.mean = float("nan")
+            self.variance = float("nan")
 
 
 class P2Quantile:

@@ -1,0 +1,49 @@
+"""Port of the reference's statistics unit tests
+(test_statistics_naive_gaussian.cpp, test_statistics_min_cov_det_gaussian
+.cpp exact expectations)."""
+import math
+
+import pytest
+
+from paragraph_tpu.utils.statistics import MinCovDetGaussian, NaiveGaussian
+
+TOL = 1e-7
+
+
+def test_naive_gaussian():
+    """GaussianFitStatistics.NaiveGaussian
+    (test_statistics_naive_gaussian.cpp:38-56)."""
+    res = NaiveGaussian()
+    res.fit([1.0, 1.2, 1.4, 1.6, 1.8, 2.0])
+    assert res.mean == pytest.approx(1.5, abs=TOL)
+    assert res.variance == pytest.approx(0.14, abs=TOL)
+    assert res.standard_deviation() == pytest.approx(
+        math.sqrt(0.14), abs=TOL)
+
+    res.fit([0, 1, 2, 3, 4, 5, 6, 7, 8])
+    assert res.mean == pytest.approx(4.0, abs=TOL)
+    assert res.variance == pytest.approx(7.5, abs=TOL)
+
+
+def test_min_cov_det_gaussian():
+    """GaussianFitStatistics.MinCovDetGaussian
+    (test_statistics_min_cov_det_gaussian.cpp:38-65)."""
+    numbers = [1.0, 1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7, 1.8, 1.9, 2.0,
+               10.0]
+    res = MinCovDetGaussian()
+    assert res.raw_support_fraction() == 0.5
+
+    res.fit(numbers)
+    assert res.raw_mean == pytest.approx(1.5, abs=TOL)
+    assert res.mean == pytest.approx(1.5, abs=TOL)
+    assert res.raw_variance == pytest.approx(0.04, abs=TOL)
+    assert res.variance == pytest.approx(0.1, abs=TOL)
+    assert res.support == numbers[:-1]
+
+    numbers2 = [9.8, 7.5, 6.4, 8.5, 5.5, 1.1, 7.4, 8.9]
+    res.fit(numbers2)
+    assert res.raw_mean == pytest.approx(7.65, abs=TOL)
+    assert res.mean == pytest.approx(7.71428571, abs=TOL)
+    assert res.raw_variance == pytest.approx(0.7784, abs=TOL)
+    assert res.variance == pytest.approx(1.87836735, abs=TOL)
+    assert res.support == [9.8, 7.5, 6.4, 8.5, 5.5, 7.4, 8.9]
