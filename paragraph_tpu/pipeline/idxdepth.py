@@ -24,16 +24,30 @@ DEFAULT_SEX_CHROMOSOME_REGEX = r"(chr)?[XY]"
 
 
 class _Pileup:
-    """Minimal sorted pileup for depth sampling (common::ReadPileup)."""
+    """Sorted pileup for depth sampling (common::ReadPileup,
+    ReadPileup.cpp): reads must arrive position-sorted; pileup(pos)
+    visits reads overlapping pos; flush(pos) discards reads ending
+    before pos."""
 
     def __init__(self):
-        self.reads: List[tuple] = []  # (pos, end)
+        self.reads: List[tuple] = []  # (pos, end)  end exclusive
 
-    def add_read(self, pos: int, length: int):
+    def add_read(self, pos: int, length: int = 150):
+        if self.reads and pos < self.reads[-1][0]:
+            raise RuntimeError(
+                "reads must be added in sorted order")
         self.reads.append((pos, pos + length))
 
+    def pileup(self, pos: int) -> List[int]:
+        """Positions of reads overlapping `pos` (ReadPileup::pileup)."""
+        return [s for s, e in self.reads if s <= pos < e]
+
+    def flush(self, pos: int) -> None:
+        """Remove reads with end < pos (ReadPileup::flush)."""
+        self.reads = [(s, e) for s, e in self.reads if e >= pos]
+
     def depth_at(self, pos: int) -> int:
-        return sum(1 for s, e in self.reads if s <= pos < e)
+        return len(self.pileup(pos))
 
 
 def estimate_contig_depth(reader: BamReader, tid: int,

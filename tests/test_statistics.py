@@ -47,3 +47,23 @@ def test_min_cov_det_gaussian():
     assert res.raw_variance == pytest.approx(0.7784, abs=TOL)
     assert res.variance == pytest.approx(1.87836735, abs=TOL)
     assert res.support == [9.8, 7.5, 6.4, 8.5, 5.5, 7.4, 8.9]
+
+
+def test_read_pileup():
+    """test_readpileup.cpp:39-101 (CountsReads + FlushesReads)."""
+    from paragraph_tpu.pipeline.idxdepth import _Pileup
+
+    pileup = _Pileup()
+    for pos, ln in [(10, 20), (20, 20), (30, 20), (40, 21), (50, 20),
+                    (60, 20)]:
+        pileup.add_read(pos, ln)
+    with pytest.raises(RuntimeError):
+        pileup.add_read(59, 150)
+
+    assert sorted(pileup.pileup(20)) == [10, 20]
+    assert sorted(pileup.pileup(45)) == [30, 40]
+    assert sorted(pileup.pileup(60)) == [40, 50, 60]
+
+    pileup.flush(41)
+    assert pileup.pileup(20) == []
+    assert sorted(pileup.pileup(45)) == [30, 40]
