@@ -98,3 +98,29 @@ def test_is_read_or_its_mate_in_region():
     read1.mate_chrom_id = 1
     read1.mate_pos = 1600
     assert is_read_or_mate_in_region(read1, Region("1", 1550, 1650))
+
+
+def test_read_pairs_container():
+    """test_readpairs.cpp:51-101 (counting, slotting, ordering)."""
+    r1f1 = Read(fragment_id="frag_1", bases="ATCG", quals="####",
+                is_first_mate=True)
+    r2f1 = Read(fragment_id="frag_1", bases="ATCG", quals="####",
+                is_first_mate=False)
+    r2f2 = Read(fragment_id="frag_2", bases="ATCG", quals="####",
+                is_first_mate=False)
+
+    pairs = ReadPairs()
+    assert pairs.num_reads == 0
+
+    pairs.add(r1f1)
+    pairs.add(r2f2)
+    assert pairs.num_reads == 2
+
+    # re-adding to an occupied slot keeps the count (last write wins)
+    pairs.add(r1f1)
+    assert pairs.num_reads == 2
+
+    pairs.add(r2f1)
+    assert pairs.num_reads == 3
+    assert [r.fragment_id for r in pairs.get_reads()] == [
+        "frag_1", "frag_1", "frag_2"]
