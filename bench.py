@@ -132,8 +132,11 @@ def bench_reference_cpu(g, reads, max_reads=128):
 
 def _device_worker():
     """Entry for the watchdog subprocess: prints the device cells/s."""
-    g, reads = build_case()
-    cells_per_s, _ = bench_device(g, reads)
+    on_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    # smaller case on the CPU fallback so it finishes well inside its
+    # watchdog (throughput per cell is batch-insensitive there)
+    g, reads = build_case(n_reads=2048 if on_cpu else 8192)
+    cells_per_s, _ = bench_device(g, reads, repeats=1 if on_cpu else 3)
     print(f"DEVICE_RESULT {cells_per_s}", flush=True)
 
 
