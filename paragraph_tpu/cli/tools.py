@@ -206,32 +206,96 @@ def cmd_grmpy_vcf_merge(argv):
 # msa2vcf (bin/msa2vcf.py + lib msa.py): multiple alignment → VCF records
 # ---------------------------------------------------------------------------
 
+def pairwise_msa_variants(ref_aln, alt_aln, offset=0):
+    """Variant calls between two rows of an MSA.
+
+    Same contract as the reference's grm.msa.pairwise_variants
+    (src/python/lib/grm/msa.py:60-129): adjacent mismatch/gap columns
+    merge into one record; pure insertions/deletions get a VCF anchor
+    base prepended (start shifts left by one); shared trailing bases are
+    right-trimmed when that does not collide with the previous variant.
+    `start`/`end` are 0-based reference coordinates (+offset).
+    """
+    assert len(ref_aln) == len(alt_aln)
+    variants = []
+    run_start = -1          # 0-based ref position where the open run began
+    ref_pos = 0             # ref bases consumed so far
+    run_ref = ""            # deleted / substituted ref bases in the run
+    run_alt = ""            # inserted / substituted alt bases in the run
+    for r, a in zip(ref_aln, alt_aln):
+        # a fully-aligned column closes any open run
+        if r != "-" and a != "-" and run_start >= 0 and (run_ref
+                                                         or run_alt):
+            variants.append({
+                "start": run_start + offset,
+                "end": run_start + offset + len(run_ref) - 1,
+                "ref": run_ref, "alt": run_alt})
+            run_ref = run_alt = ""
+            run_start = ref_pos
+        if r == a:
+            if r != "-":
+                ref_pos += 1
+            continue
+        if r == "-":
+            run_alt += a
+        elif a == "-":
+            run_ref += r
+            ref_pos += 1
+        else:
+            run_ref += r
+            run_alt += a
+            ref_pos += 1
+        if len(run_ref) == 1:
+            run_start = ref_pos - 1
+    if run_start >= 0 and (run_ref or run_alt):
+        variants.append({
+            "start": run_start + offset,
+            "end": run_start + len(ref_aln) - 1 + offset,
+            "ref": run_ref, "alt": run_alt})
+
+    variants.sort(key=lambda v: v["start"])
+    ref = ref_aln.replace("-", "")
+    last_end = offset
+
+    for v in variants:
+
+        def pad(v):
+            # prepend the VCF anchor base for pure indels
+            if v["start"] >= last_end and not v["alt"]:
+                v["start"] -= 1
+                v["ref"] = ref[v["start"] - offset] + v["ref"]
+                v["alt"] = v["ref"][0] + v["alt"]
+            elif v["start"] >= last_end and not v["ref"]:
+                v["start"] -= 1
+                v["ref"] = ref[v["start"] - offset]
+                v["alt"] = v["ref"] + v["alt"]
+
+        pad(v)
+        while (v["start"] > last_end and v["ref"] and v["alt"]
+               and v["ref"][-1] == v["alt"][-1]):
+            v["end"] -= 1
+            v["ref"] = v["ref"][:-1]
+            v["alt"] = v["alt"][:-1]
+            pad(v)
+        pad(v)
+        last_end = v["end"]
+    return variants
+
+
 def msa_to_records(ref_name, sequences, chrom="msa", offset=1):
     """Derive VCF-style records from an MSA dict {name: aligned_seq} where
-    `ref_name` selects the reference row ('-' = gap)."""
+    `ref_name` selects the reference row ('-' = gap). Records are
+    (chrom, 1-based pos, ref, alt, sample) using the merged pairwise
+    caller above (one record per indel/substitution run, VCF-padded)."""
     ref_aln = sequences[ref_name]
     records = []
-    ref_pos = offset - 1
-    col = 0
-    n_cols = len(ref_aln)
-    while col < n_cols:
-        ref_base = ref_aln[col]
-        for name, aln in sequences.items():
-            if name == ref_name:
-                continue
-            alt_base = aln[col]
-            if ref_base == alt_base:
-                continue
-            if ref_base != "-" and alt_base != "-":
-                records.append((chrom, ref_pos + 1, ref_base, alt_base,
-                                name))
-            elif ref_base == "-" and alt_base != "-":
-                records.append((chrom, max(1, ref_pos), "", alt_base, name))
-            elif ref_base != "-" and alt_base == "-":
-                records.append((chrom, ref_pos + 1, ref_base, "", name))
-        if ref_base != "-":
-            ref_pos += 1
-        col += 1
+    for name, aln in sequences.items():
+        if name == ref_name:
+            continue
+        for v in pairwise_msa_variants(ref_aln, aln, offset - 1):
+            records.append((chrom, v["start"] + 1, v["ref"], v["alt"],
+                            name))
+    records.sort(key=lambda rec: (rec[1], rec[4]))
     return records
 
 
