@@ -96,8 +96,25 @@ class BatchedGraphAligner:
             f_score, f_multi, r_multi = precomputed
         else:
             try:
-                f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
-                _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
+                if (hasattr(self._fwd_scorer, "score_device")
+                        and hasattr(self._rev_scorer, "score_device")):
+                    # pipeline both orientation dispatches before the
+                    # first host fetch (hides one device round trip)
+                    hf = self._fwd_scorer.score_device(fwd_batch)
+                    hr = self._rev_scorer.score_device(rev_batch)
+                    if hf is not None and hr is not None:
+                        f_score, _, _, _, f_multi = \
+                            self._fwd_scorer.finalize(hf)
+                        _, _, _, _, r_multi = self._rev_scorer.finalize(hr)
+                    else:
+                        f_score, _, _, _, f_multi = \
+                            self._fwd_scorer.score(fwd_batch)
+                        _, _, _, _, r_multi = \
+                            self._rev_scorer.score(rev_batch)
+                else:
+                    f_score, _, _, _, f_multi = \
+                        self._fwd_scorer.score(fwd_batch)
+                    _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
             except Exception:
                 # device kernel failed (e.g. Mosaic/compile issue on this
                 # toolchain) — fall back to the XLA scan scorer permanently

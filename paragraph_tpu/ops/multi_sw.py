@@ -10,6 +10,11 @@ with its DP state in VMEM. One launch scores an entire event batch.
 
 Node ids are event-local, so the boundary-state scratch stays
 [N_max+1, M, TB]; predecessor tables stack per event.
+
+The column-loop body mirrors ops/pallas_sw.py: register-level sublane
+rolls for the diagonal shift and F prefix scan, running per-cell packed
+(score | column | read-row) end tracking (no per-column reductions), and
+per-node maxima reduced once per node. See that module's docstring.
 """
 from __future__ import annotations
 
@@ -25,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..graph.model import SequenceGraph
 from .batched_sw import GraphArrays, encode_reads
+from .pallas_sw import _shift_down, pack_bits
 
 _BIG = np.int32(2 ** 30)
 DEFAULT_TB = 128
@@ -79,20 +85,34 @@ class MultiGraphArrays:
         self.pred_tables = np.stack(pred_tables)  # [E, N_max, P_max]
 
 
-def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
+def _make_kernel(L: int, L_ev: int, N: int, P: int, M: int, TB: int,
                  gap_open: int, gap_extend: int, match: int,
                  mismatch: int):
+    """L is the concatenated column-stream length; L_ev bounds any single
+    event's column count — the packed end-tracking word stores the
+    *event-local* column index so its bit budget is independent of how
+    many events share the launch."""
     dt = jnp.int32
+    bits = pack_bits(L_ev, M, match)
+    assert bits is not None, "scores overflow packed tracking"
+    col_bits, j_bits = bits
+    s1 = col_bits + j_bits
+    lmask = (1 << col_bits) - 1
+    jmask = (1 << j_bits) - 1
+
+    log_steps = []
+    s = 1
+    while s < M:
+        log_steps.append(s)
+        s *= 2
 
     def kernel(ref_codes_ref, col_node_ref, col_in_node_ref, start_ref,
                last_ref, pred_ref, tile_col_start_ref, tile_col_len_ref,
                tile_event_ref,
                read_codes_ref, read_lens_ref, read_vlens_ref,
-               score_ref, end_node_ref, end_ref_ref, end_read_ref,
-               multi_ref,
+               score_ref, end_col_ref, end_read_ref, multi_ref,
                prof_ref, h_ref, e_ref, saved_h_ref, saved_e_ref,
-               node_max_ref, cur_max_ref, e_node_ref, e_ref2_ref,
-               e_read_ref, shift_ref):
+               node_run_ref, node_max_ref, best_ref):
         t = pl.program_id(0)
         ev = tile_event_ref[t]
         c0 = tile_col_start_ref[t]
@@ -113,32 +133,19 @@ def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
         jj = jax.lax.broadcasted_iota(jnp.int32, (M, TB), 0)
         stripe_mask = jj < vlens
         real_mask = jj < lens
+        gterm = jj * gapE
+        jterm = jmask - jj
 
         h_ref[:] = jnp.zeros((M, TB), dt)
         e_ref[:] = jnp.zeros((M, TB), dt)
         saved_h_ref[:] = jnp.zeros((N + 1, M, TB), dt)
         saved_e_ref[:] = jnp.zeros((N + 1, M, TB), dt)
         node_max_ref[:] = jnp.zeros((N, 1, TB), jnp.int32)
-        cur_max_ref[:] = jnp.zeros((1, TB), jnp.int32)
-        e_node_ref[:] = jnp.zeros((1, TB), jnp.int32)
-        e_ref2_ref[:] = jnp.full((1, TB), -1, jnp.int32)
-        e_read_ref[:] = lens - 1
-
-        def shift_down(x, amt, fill_val):
-            shift_ref[0:amt] = jnp.full((amt, TB), fill_val, dt)
-            shift_ref[amt:M] = x[0:M - amt]
-            return shift_ref[:]
-
-        log_steps = []
-        s = 1
-        while s < M:
-            log_steps.append(s)
-            s *= 2
+        best_ref[:] = jnp.zeros((M, TB), jnp.int32)
 
         def col_body(i, _):
             ref_c = ref_codes_ref[i]
             nid = col_node_ref[i]
-            col_off = col_in_node_ref[i]
             is_start = start_ref[i] != 0
             is_last = last_ref[i] != 0
 
@@ -151,74 +158,72 @@ def _make_kernel(L: int, N: int, P: int, M: int, TB: int,
                     se = jnp.maximum(se, saved_e_ref[pred_ref[ev, nid, p]])
                 h_ref[:] = sh
                 e_ref[:] = se
+                node_run_ref[:] = jnp.zeros((M, TB), dt)
 
             prof = prof_ref[ref_c]
             h_prev = h_ref[:]
             e_col = e_ref[:]
-            diag = shift_down(h_prev, 1, dt(0))
+            diag = _shift_down(h_prev, 1, dt(0), jj)
             hp = jnp.maximum(diag + prof, dt(0))
             hp = jnp.maximum(hp, e_col)
-            g = hp - gapO + (jj + 1) * gapE
+            g = hp - gapO + gterm + gapE
             for s_amt in log_steps:
-                g = jnp.maximum(g, shift_down(g, s_amt, -_BIG))
-            f = jnp.maximum(shift_down(g, 1, -_BIG) - jj * gapE, dt(0))
+                g = jnp.maximum(g, _shift_down(g, s_amt, -_BIG, jj))
+            f = jnp.maximum(_shift_down(g, 1, -_BIG, jj) - gterm, dt(0))
             h = jnp.maximum(hp, f)
             e_next = jnp.maximum(jnp.maximum(e_col - gapE, h - gapO), dt(0))
             h_ref[:] = h
             e_ref[:] = e_next
+            node_run_ref[:] = jnp.maximum(node_run_ref[:], h)
+
+            packed = (h << s1) + (((lmask - (i - c0)) << j_bits) + jterm)
+            best_ref[:] = jnp.maximum(
+                best_ref[:], jnp.where(stripe_mask, packed, 0))
 
             @pl.when(is_last)
             def _():
                 saved_h_ref[nid] = h
                 saved_e_ref[nid] = e_next
+                node_max_ref[nid] = jnp.max(
+                    jnp.where(real_mask, node_run_ref[:], 0),
+                    axis=0, keepdims=True)
 
-            h_stripe = jnp.where(stripe_mask, h, 0)
-            h_real = jnp.where(real_mask, h, 0)
-            col_max = jnp.max(h_stripe, axis=0, keepdims=True)
-            col_max_real = jnp.max(h_real, axis=0, keepdims=True)
-            node_max_ref[nid] = jnp.maximum(node_max_ref[nid], col_max_real)
-
-            upd = col_max > cur_max_ref[:]
-            first_j = jnp.min(
-                jnp.where(jnp.logical_and(h_stripe == col_max, stripe_mask),
-                          jj, _BIG), axis=0, keepdims=True)
-            cand_read = jnp.minimum(first_j, lens - 1)
-            cur_max_ref[:] = jnp.where(upd, col_max, cur_max_ref[:])
-            e_node_ref[:] = jnp.where(upd, nid, e_node_ref[:])
-            e_ref2_ref[:] = jnp.where(upd, col_off, e_ref2_ref[:])
-            e_read_ref[:] = jnp.where(upd, cand_read, e_read_ref[:])
             return 0
 
         jax.lax.fori_loop(c0, c0 + clen, col_body, 0)
 
-        cur_max = cur_max_ref[:]
+        final = jnp.max(best_ref[:], axis=0, keepdims=True)  # [1, TB]
+        cur_max = final >> s1
+        end_col = c0 + (lmask - ((final >> j_bits) & lmask))
+        first_j = jmask - (final & jmask)
+
         top = jnp.broadcast_to(cur_max, (N, 1, TB))
         n_top = jnp.sum((node_max_ref[:] == top).astype(jnp.int32), axis=0)
         zero_fill = cur_max == 0
         score_ref[:] = cur_max
-        end_node_ref[:] = jnp.where(zero_fill, 0, e_node_ref[:])
-        end_ref_ref[:] = jnp.where(zero_fill, -1, e_ref2_ref[:])
+        end_col_ref[:] = jnp.where(zero_fill, -1, end_col)
         end_read_ref[:] = jnp.where(
-            jnp.logical_and(zero_fill, lens > 1), 0, e_read_ref[:])
+            zero_fill, 0, jnp.minimum(first_j, lens - 1))
         multi_ref[:] = (n_top > 1).astype(jnp.int32)
 
     return kernel
 
 
 @partial(jax.jit,
-         static_argnames=("L", "N", "P", "M", "TB", "gap_open",
+         static_argnames=("L", "L_ev", "N", "P", "M", "TB", "gap_open",
                           "gap_extend", "match", "mismatch", "interpret"))
 def multi_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
                       pred_tables, tile_col_start, tile_col_len,
                       tile_event, read_codes_t, read_lens, read_vlens,
-                      L: int, N: int, P: int, M: int, TB: int,
+                      L: int, L_ev: int, N: int, P: int, M: int, TB: int,
                       gap_open: int = 6, gap_extend: int = 1,
                       match: int = 1, mismatch: int = 4,
                       interpret: bool = False):
     B = read_codes_t.shape[1]
     assert B % TB == 0
-    kernel = _make_kernel(L, N, P, M, TB, gap_open, gap_extend, match,
-                          mismatch)
+    read_codes_t = read_codes_t.astype(jnp.int32)  # int8 on the wire
+    kernel = _make_kernel(L, L_ev, N, P, M, TB, gap_open, gap_extend,
+                          match, mismatch)
     state_dt = jnp.int32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
@@ -234,7 +239,7 @@ def multi_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
         out_specs=[
             pl.BlockSpec((1, TB), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM)
-            for _ in range(5)
+            for _ in range(4)
         ],
         scratch_shapes=[
             pltpu.VMEM((5, M, TB), state_dt),
@@ -242,15 +247,12 @@ def multi_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
             pltpu.VMEM((M, TB), state_dt),
             pltpu.VMEM((N + 1, M, TB), state_dt),
             pltpu.VMEM((N + 1, M, TB), state_dt),
-            pltpu.VMEM((N, 1, TB), jnp.int32),
-            pltpu.VMEM((1, TB), jnp.int32),
-            pltpu.VMEM((1, TB), jnp.int32),
-            pltpu.VMEM((1, TB), jnp.int32),
-            pltpu.VMEM((1, TB), jnp.int32),
-            pltpu.VMEM((M, TB), state_dt),
+            pltpu.VMEM((M, TB), state_dt),  # per-node running max
+            pltpu.VMEM((N, 1, TB), jnp.int32),  # node max (real lanes)
+            pltpu.VMEM((M, TB), jnp.int32),  # running packed best
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((1, B), jnp.int32) for _ in range(5)]
+    out_shape = [jax.ShapeDtypeStruct((1, B), jnp.int32) for _ in range(4)]
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
@@ -306,6 +308,9 @@ class MultiGraphSW:
 
         pad_to = max(pad_to, _bucket(max_len, 32))
         codes, lens, vlens = encode_reads(all_reads, pad_to)
+        # event-local column bit budget, bucketed for compile reuse
+        l_ev = _bucket(max(self.arrays.col_len), 256)
+        assert pack_bits(l_ev, codes.shape[1], 1) is not None
         out = multi_pallas_fill(
             jnp.asarray(a.ref_codes), jnp.asarray(a.col_node),
             jnp.asarray(a.col_in_node), jnp.asarray(a.is_start),
@@ -313,11 +318,17 @@ class MultiGraphSW:
             jnp.asarray(np.asarray(tile_col_start, np.int32)),
             jnp.asarray(np.asarray(tile_col_len, np.int32)),
             jnp.asarray(np.asarray(tile_event, np.int32)),
-            jnp.asarray(codes.T.copy()), jnp.asarray(lens[None, :]),
+            jnp.asarray(codes.T.astype(np.int8)), jnp.asarray(lens[None, :]),
             jnp.asarray(vlens[None, :]),
-            L=len(a.ref_codes), N=a.n_max, P=a.p_max, M=codes.shape[1],
-            TB=tb, interpret=self.interpret)
-        out = [np.asarray(x) for x in out]
+            L=len(a.ref_codes), L_ev=l_ev, N=a.n_max, P=a.p_max,
+            M=codes.shape[1], TB=tb, interpret=self.interpret)
+        score, end_col, end_read, multi = [np.asarray(x) for x in out]
+        valid = end_col >= 0
+        safe_col = np.where(valid, end_col, 0)
+        end_node = np.where(valid, a.col_node[safe_col], 0).astype(np.int32)
+        end_ref = np.where(
+            valid, a.col_in_node[safe_col], -1).astype(np.int32)
+        out = [score, end_node, end_ref, end_read, multi]
         results = []
         for start, n in event_slices:
             results.append(tuple(x[start:start + n] for x in out))
