@@ -126,37 +126,82 @@ def cmd_add_variants(argv):
 # ---------------------------------------------------------------------------
 
 def cmd_multiparagraph(argv):
+    """bin/multiparagraph.py equivalent (run(): multiparagraph.py:184-252,
+    run_paragraph(): :37-127): load event lists, build template graphs for
+    events without one (make_graph), run the per-graph paragraph pipeline
+    and merge the per-event outputs into one sorted JSON array."""
+    from ..graph.templates import make_graph
     from ..io.bam import BamReader
-    from ..pipeline.paragraph import Parameters, align_and_disambiguate
+    from ..pipeline.paragraph import (EDGE_READ_COUNTS, NODE_READ_COUNTS,
+                                      PATH_READ_COUNTS, ALL, Parameters,
+                                      align_and_disambiguate)
     from ..reads.extraction import extract_reads
 
     p = argparse.ArgumentParser("multiparagraph")
+    p.add_argument("input", nargs="+",
+                   help="JSON files, each a list of event descriptions")
     p.add_argument("-b", "--bam", required=True)
-    p.add_argument("-i", "--input", required=True,
-                   help="JSON file with a list of graph descriptions")
     p.add_argument("-o", "--output", required=True)
-    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-r", "--reference-sequence", dest="ref", required=True)
+    p.add_argument("-E", "--extended-output", action="store_true",
+                   default=False)
+    p.add_argument("--max-events", type=int, default=None)
+    p.add_argument("--min-length", type=int, default=0)
     p.add_argument("-M", "--max-reads", type=int, default=10000)
     args = p.parse_args(argv)
 
-    events = _load_json(args.input)
-    if isinstance(events, dict):
-        events = [events]
-    reader = BamReader(args.bam, "", args.reference)
-    results = []
-    for event in events:
-        desc = event.get("graph", event)
-        parameters = Parameters(max_reads=args.max_reads)
-        parameters.load(desc, args.reference)
+    # event list assembly + length annotations (multiparagraph.py:203-238)
+    all_events = []
+    for filename in args.input:
+        events = _load_json(filename)
+        if not isinstance(events, list):
+            raise ValueError("Input JSON must contain a list of events.")
+        for e in events:
+            if not isinstance(e, dict):
+                raise ValueError("Invalid event description: %s" % str(e))
+            e["ins_len"] = len(e["ins"]) if "ins" in e else 0
+            if "end" in e and "start" in e:
+                e["del_len"] = max(0, e["end"] - e["start"] + 1)
+            else:
+                e["del_len"] = 0
+            e["len"] = max(e["ins_len"], e["del_len"])
+            e.pop("samples", None)
+        all_events += events
+
+    if args.max_events is not None:
+        all_events = all_events[:args.max_events]
+    all_events = [e for e in all_events if e["len"] >= args.min_length]
+    for i, e in enumerate(all_events):
+        e["n_ev"] = i
+
+    if args.extended_output:
+        outputs = ALL
+    else:
+        # paragraph binary defaults (main/paragraph.cpp:65-66)
+        outputs = NODE_READ_COUNTS | EDGE_READ_COUNTS | PATH_READ_COUNTS
+
+    reader = BamReader(args.bam, "", args.ref)
+    for event in all_events:
+        if "graph" not in event:
+            event["type"], event["graph"] = make_graph(args.ref, event)
+        elif "type" not in event:
+            event["type"] = "custom"
+        event["commandline"] = (
+            "paragraph -r %s -b %s" % (args.ref, args.bam))
+        parameters = Parameters(max_reads=args.max_reads,
+                                output_options=outputs)
+        parameters.load(event["graph"], args.ref)
         reads = extract_reads(reader, parameters.target_regions,
                               parameters.max_reads,
                               parameters.longest_alt_insertion)
         out = align_and_disambiguate(parameters, reads)
         out["bam"] = args.bam
-        results.append(out)
+        event["graph"] = out
+
     opener = gzip.open if args.output.endswith(".gz") else open
     with opener(args.output, "wt") as f:
-        json.dump(results, f, sort_keys=True, indent=2)
+        json.dump(all_events, f, sort_keys=True, indent=4,
+                  separators=(",", ": "))
     return 0
 
 

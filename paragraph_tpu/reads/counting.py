@@ -197,7 +197,9 @@ def fragment_statistics(fragments: List[Fragment]) -> dict:
             multi += 1
 
     def mean(xs):
-        return sum(xs) / len(xs) if xs else 0.0
+        # boost's lazy mean = sum/count is NaN for zero samples, which
+        # jsoncpp serializes as null (ReadCounting.cpp:188-189)
+        return sum(xs) / len(xs) if xs else None
 
     def variance(xs):
         if not xs:
