@@ -163,7 +163,7 @@ def cmd_grmpy(argv):
 
 def cmd_paragraph(argv):
     """paragraph binary equivalent (BAM + graph → alignment/counts JSON)."""
-    from ..io.bam import BamReader
+    from ..io.cram import open_alignment_reader as BamReader
     from ..pipeline.paragraph import Parameters, align_and_disambiguate
     from ..reads.extraction import extract_reads
 

@@ -131,7 +131,7 @@ def cmd_multiparagraph(argv):
     events without one (make_graph), run the per-graph paragraph pipeline
     and merge the per-event outputs into one sorted JSON array."""
     from ..graph.templates import make_graph
-    from ..io.bam import BamReader
+    from ..io.cram import open_alignment_reader as BamReader
     from ..pipeline.paragraph import (EDGE_READ_COUNTS, NODE_READ_COUNTS,
                                       PATH_READ_COUNTS, ALL, Parameters,
                                       align_and_disambiguate)
@@ -413,7 +413,7 @@ def cmd_compare_alignments(argv):
 # ---------------------------------------------------------------------------
 
 def cmd_pam(argv):
-    from ..io.bam import BamReader
+    from ..io.cram import open_alignment_reader as BamReader
     from ..io.regions import Region
 
     p = argparse.ArgumentParser("pam")

@@ -18,7 +18,7 @@ logger = logging.getLogger("grmpy")
 from ..genotyping.graph_genotyper import GraphBreakpointGenotyper
 from ..genotyping.sample_info import SampleInfo
 from ..graph.model import SequenceGraph
-from ..io.bam import BamReader
+from ..io.cram import open_alignment_reader as BamReader
 from ..reads.extraction import extract_reads
 from .paragraph import (ALL, DETAILED_READ_COUNTS, EDGE_READ_COUNTS,
                         HAPLOTYPES, NODE_READ_COUNTS, PATH_READ_COUNTS,

@@ -12,7 +12,7 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional
 
-from ..io.bam import BamReader
+from ..io.cram import open_alignment_reader as BamReader
 from ..io.fasta import FastaFile
 from ..utils.statistics import P2Quantile, mean, variance_population
 
