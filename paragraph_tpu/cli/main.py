@@ -250,6 +250,7 @@ def cmd_vcf2paragraph(argv):
     p.add_argument("--ins-info-key", default="SEQ")
     p.add_argument("--alt-paths", action="store_true")
     p.add_argument("--alt-splitting", action="store_true")
+    p.add_argument("--retrieve-reference-sequence", action="store_true")
     args = p.parse_args(argv)
 
     records = list(VcfReader(args.input))
@@ -260,6 +261,15 @@ def cmd_vcf2paragraph(argv):
         ref_node_max_length=args.max_ref_node_length,
         allele_graph=args.graph_type == "alleles",
         alt_paths=args.alt_paths, alt_splitting=args.alt_splitting)
+    if args.retrieve_reference_sequence:
+        from ..io.fasta import FastaFile
+        from ..io.regions import parse_region
+
+        fasta = FastaFile(args.reference)
+        for n in graph.get("nodes", []):
+            if "reference" in n:
+                chrom, start, end = parse_region(n["reference"])
+                n["reference_sequence"] = fasta.fetch(chrom, start - 1, end)
     with _open_out(args.output) as f:
         json.dump(graph, f, sort_keys=True, indent=4,
                   separators=(",", ": "))
