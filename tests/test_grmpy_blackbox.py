@@ -33,3 +33,25 @@ def test_genotypes_single_swap_chrx(monkeypatch):
     result = count_and_genotype(graph, reference, gt_params, manifest)
     assert result["samples"]["SAMPLE1"]["gt"]["GT"] == "REF"
     assert result["samples"]["SAMPLE2"]["gt"]["GT"] == "REF/REF"
+
+
+def test_threaded_alignment_deterministic(monkeypatch):
+    """Port of test-blackbox/test_multithreading.cpp's intent: the aligned
+    output (counts, statistics, per-read fields) must be identical however
+    many workers the aligner fans out over."""
+    monkeypatch.chdir("/root/reference")
+    graph = json.load(open(os.path.join(LD, "chrX_graph_typing.2sample.json")))
+    reference = os.path.join(LD, "chrX_graph_typing.fa")
+    manifest = load_manifest(os.path.join(LD, "chrX_graph_typing.manifest"))
+
+    results = []
+    for threads in (1, 4):
+        parameters = GrmpyParameters(threads=threads)
+        out = {}
+        for sample in manifest:
+            reader = BamReader(sample.filename, sample.index_filename,
+                               reference)
+            align_single_sample(parameters, graph, reference, reader, sample)
+            out[sample.sample_name] = sample.alignment_data
+        results.append(json.dumps(out, sort_keys=True))
+    assert results[0] == results[1]
