@@ -95,31 +95,34 @@ class BamRecord:
         return self.pos + (rlen if rlen > 0 else 1)
 
 
+# nibble codes → bases via the C-speed hex()/str.translate pair: each seq
+# byte hex-prints to two digits, and each hex digit is one 4-bit base code
+_HEX_TO_BASE = str.maketrans("0123456789abcdef", SEQ_CODES)
+_QUAL_TO_CHAR = bytes(min(q + 33, 255) for q in range(256))
+
+
 def _decode_record(data: bytes) -> BamRecord:
     (refid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq, next_refid,
      next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", data, 0)
     off = 32
     name = data[off:off + l_read_name - 1].decode()
     off += l_read_name
-    cigar = []
-    for _ in range(n_cigar):
-        v = struct.unpack_from("<I", data, off)[0]
-        cigar.append((v & 0xF, v >> 4))
-        off += 4
+    if n_cigar:
+        cigar = [(v & 0xF, v >> 4)
+                 for v in struct.unpack_from(f"<{n_cigar}I", data, off)]
+        off += 4 * n_cigar
+    else:
+        cigar = []
     nbytes = (l_seq + 1) // 2
     seq_raw = data[off:off + nbytes]
     off += nbytes
-    bases = []
-    for i in range(l_seq):
-        b = seq_raw[i // 2]
-        code = (b >> 4) if i % 2 == 0 else (b & 0xF)
-        bases.append(SEQ_CODES[code])
+    bases = seq_raw.hex().translate(_HEX_TO_BASE)[:l_seq]
     quals_raw = data[off:off + l_seq]
     off += l_seq
     if l_seq and quals_raw[0] == 0xFF:
         quals = "#" * l_seq
     else:
-        quals = "".join(chr(q + 33) for q in quals_raw)
+        quals = quals_raw.translate(_QUAL_TO_CHAR).decode("latin-1")
     return BamRecord(
         fragment_id=name,
         flag=flag,
@@ -130,7 +133,7 @@ def _decode_record(data: bytes) -> BamRecord:
         mate_chrom_id=next_refid,
         mate_pos=next_pos,
         tlen=tlen,
-        bases="".join(bases),
+        bases=bases,
         quals=quals,
     )
 

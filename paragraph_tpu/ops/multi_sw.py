@@ -43,11 +43,14 @@ def _bucket(x: int, m: int) -> int:
 class MultiGraphArrays:
     """Concatenated device arrays for a batch of graphs."""
 
-    def __init__(self, graphs: Sequence[SequenceGraph]):
-        arrays = [GraphArrays.build(g) for g in graphs]
+    def __init__(self, graphs: Sequence[SequenceGraph],
+                 prebuilt: Sequence[GraphArrays] = None,
+                 n_max: int = 0, p_max: int = 0):
+        arrays = list(prebuilt) if prebuilt is not None else \
+            [GraphArrays.build(g) for g in graphs]
         self.per_event = arrays
-        self.n_max = max(a.num_nodes for a in arrays)
-        self.p_max = max(a.pred_table.shape[1] for a in arrays)
+        self.n_max = max(n_max, max(a.num_nodes for a in arrays))
+        self.p_max = max(p_max, max(a.pred_table.shape[1] for a in arrays))
         self.col_start = []
         ref_codes = []
         col_node = []
@@ -259,22 +262,51 @@ def multi_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
     )(ref_codes, col_node, col_in_node, is_start, is_last, pred_tables,
       tile_col_start, tile_col_len, tile_event,
       read_codes_t, read_lens, read_vlens)
-    return tuple(o[0] for o in outs)
+    # one [4, B] device buffer so the caller pays a single host fetch
+    return jnp.concatenate(outs, axis=0)
 
 
 class MultiGraphSW:
-    """Score (graph, reads) pairs for a whole event batch in one launch."""
+    """Score (graph, reads) pairs for a whole event batch in a few
+    pipelined launches.
+
+    The concatenated column stream travels via scalar prefetch (SMEM),
+    whose capacity bounds how many events one launch can carry — so the
+    event batch is partitioned into chunks of ≤ `col_budget` total columns.
+    All chunk dispatches are issued before the first host fetch (the
+    shared-tunnel round trip costs ~tens of ms), and each chunk's four
+    outputs come back as one [4, B] buffer."""
+
+    COL_BUDGET = 12288
 
     def __init__(self, graphs: Sequence[SequenceGraph],
-                 tile_batch: int = DEFAULT_TB, interpret: bool = False):
-        self.arrays = MultiGraphArrays(graphs)
+                 tile_batch: int = DEFAULT_TB, interpret: bool = False,
+                 col_budget: int = COL_BUDGET):
+        gas = [GraphArrays.build(g) for g in graphs]
+        n_max = max(a.num_nodes for a in gas)
+        p_max = max(a.pred_table.shape[1] for a in gas)
         self.tile_batch = tile_batch
         self.interpret = interpret
+        self.chunk_events: List[List[int]] = []
+        self.chunk_arrays: List[MultiGraphArrays] = []
+        cur: List[int] = []
+        cur_cols = 0
+        for i, ga in enumerate(gas):
+            cols = len(ga.ref_codes)
+            if cur and cur_cols + cols > col_budget:
+                self.chunk_events.append(cur)
+                cur, cur_cols = [], 0
+            cur.append(i)
+            cur_cols += cols
+        if cur:
+            self.chunk_events.append(cur)
+        for idxs in self.chunk_events:
+            self.chunk_arrays.append(MultiGraphArrays(
+                None, prebuilt=[gas[i] for i in idxs],
+                n_max=n_max, p_max=p_max))
 
-    def score(self, reads_per_event: Sequence[List[str]], pad_to: int = 0):
-        """Returns per-event tuples (score, end_node, end_ref, end_read,
-        multi) as numpy arrays."""
-        a = self.arrays
+    def _dispatch(self, a: MultiGraphArrays,
+                  reads_per_event: Sequence[List[str]], pad_to: int):
         tb = self.tile_batch
         all_reads: List[str] = []
         tile_event = []
@@ -309,7 +341,7 @@ class MultiGraphSW:
         pad_to = max(pad_to, _bucket(max_len, 32))
         codes, lens, vlens = encode_reads(all_reads, pad_to)
         # event-local column bit budget, bucketed for compile reuse
-        l_ev = _bucket(max(self.arrays.col_len), 256)
+        l_ev = _bucket(max(a.col_len), 256)
         assert pack_bits(l_ev, codes.shape[1], 1) is not None
         out = multi_pallas_fill(
             jnp.asarray(a.ref_codes), jnp.asarray(a.col_node),
@@ -322,14 +354,27 @@ class MultiGraphSW:
             jnp.asarray(vlens[None, :]),
             L=len(a.ref_codes), L_ev=l_ev, N=a.n_max, P=a.p_max,
             M=codes.shape[1], TB=tb, interpret=self.interpret)
-        score, end_col, end_read, multi = [np.asarray(x) for x in out]
-        valid = end_col >= 0
-        safe_col = np.where(valid, end_col, 0)
-        end_node = np.where(valid, a.col_node[safe_col], 0).astype(np.int32)
-        end_ref = np.where(
-            valid, a.col_in_node[safe_col], -1).astype(np.int32)
-        out = [score, end_node, end_ref, end_read, multi]
-        results = []
-        for start, n in event_slices:
-            results.append(tuple(x[start:start + n] for x in out))
+        return out, event_slices
+
+    def score(self, reads_per_event: Sequence[List[str]], pad_to: int = 0):
+        """Returns per-event tuples (score, end_node, end_ref, end_read,
+        multi) as numpy arrays."""
+        results = [None] * len(reads_per_event)
+        pending = []
+        for idxs, a in zip(self.chunk_events, self.chunk_arrays):
+            out, event_slices = self._dispatch(
+                a, [reads_per_event[e] for e in idxs], pad_to)
+            pending.append((idxs, a, out, event_slices))
+        for idxs, a, out, event_slices in pending:
+            vals = np.asarray(out)  # single [4, B] fetch per chunk
+            score, end_col, end_read, multi = vals
+            valid = end_col >= 0
+            safe_col = np.where(valid, end_col, 0)
+            end_node = np.where(
+                valid, a.col_node[safe_col], 0).astype(np.int32)
+            end_ref = np.where(
+                valid, a.col_in_node[safe_col], -1).astype(np.int32)
+            chunk_out = [score, end_node, end_ref, end_read, multi]
+            for (start, n), e in zip(event_slices, idxs):
+                results[e] = tuple(x[start:start + n] for x in chunk_out)
         return results

@@ -258,8 +258,9 @@ def pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
     )(ref_codes, col_node, col_in_node,
       is_start.astype(jnp.int32), is_last.astype(jnp.int32), pred_table,
       read_codes_t, read_lens, read_vlens)
-    score, end_col, end_read, multi = [o[0] for o in outs]
-    return score, end_col, end_read, multi
+    # one [4, B] device buffer so callers pay a single host fetch
+    # (each tunnel round trip costs ~tens of ms)
+    return jnp.concatenate(outs, axis=0)
 
 
 class PallasGraphSW:
@@ -317,11 +318,11 @@ class PallasGraphSW:
         to (node id, in-node offset) with two host gathers."""
         outs, n_real = handle
         a = self.arrays
-        score, end_col, end_read, multi = [np.asarray(o) for o in outs]
-        score = score[:n_real]
-        end_col = end_col[:n_real]
-        end_read = end_read[:n_real]
-        multi = multi[:n_real]
+        vals = np.asarray(outs)  # single [4, B] fetch
+        score = vals[0, :n_real]
+        end_col = vals[1, :n_real]
+        end_read = vals[2, :n_real]
+        multi = vals[3, :n_real]
         valid = end_col >= 0
         safe_col = np.where(valid, end_col, 0)
         end_node = np.where(valid, a.col_node[safe_col], 0).astype(np.int32)

@@ -1,0 +1,291 @@
+"""Synthesize a multi-event SV genotyping workload (dev/bench tool).
+
+Builds a random reference contig, plants heterozygous/homozygous deletions
+and insertions, simulates ~depth× paired 150bp reads (with sequencing
+errors), and writes ref.fa / sample.bam(.bai) / candidates.vcf / truth.json
+into an output directory. Used by the end-to-end throughput bench and
+stress tests; mirrors the reference's EAGLE-based simulation harness intent
+(doc/validation-with-simulated-reads.md) with an in-repo generator.
+"""
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import random
+import struct
+import zlib
+
+
+def bgzf_block(data: bytes) -> bytes:
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cdata = comp.compress(data) + comp.flush()
+    bsize = len(cdata) + 25 + 1
+    header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff" +
+              struct.pack("<H", 6) + b"BC" + struct.pack("<H", 2) +
+              struct.pack("<H", bsize - 1))
+    return header + cdata + struct.pack("<I", zlib.crc32(data) & 0xFFFFFFFF) + \
+        struct.pack("<I", len(data))
+
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+
+def bam_record(name, flag, tid, pos, mapq, cigar, mtid, mpos, tlen, seq, qual):
+    enc_name = name.encode() + b"\x00"
+    n_cigar = len(cigar)
+    cig = b"".join(struct.pack("<I", (ln << 4) | op) for op, ln in cigar)
+    seq_bytes = bytearray()
+    for i in range(0, len(seq), 2):
+        hi = _CODE[seq[i]] << 4
+        lo = _CODE[seq[i + 1]] if i + 1 < len(seq) else 0
+        seq_bytes.append(hi | lo)
+    qual_bytes = bytes(ord(q) - 33 for q in qual)
+    data = struct.pack("<iiBBHHHiiii", tid, pos, len(enc_name), mapq,
+                       4680, n_cigar, flag, len(seq), mtid, mpos, tlen)
+    data += enc_name + cig + bytes(seq_bytes) + qual_bytes
+    return struct.pack("<i", len(data)) + data
+
+
+def write_bam(path, contig, contig_len, records):
+    header_text = f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:{contig}\tLN:{contig_len}\n"
+    hdr = b"BAM\x01" + struct.pack("<i", len(header_text)) + \
+        header_text.encode()
+    hdr += struct.pack("<i", 1)
+    hdr += struct.pack("<i", len(contig) + 1) + contig.encode() + b"\x00"
+    hdr += struct.pack("<i", contig_len)
+    with open(path, "wb") as f:
+        f.write(bgzf_block(hdr))
+        buf = b""
+        for r in records:
+            buf += r
+            if len(buf) > 50000:
+                f.write(bgzf_block(buf))
+                buf = b""
+        if buf:
+            f.write(bgzf_block(buf))
+        f.write(BGZF_EOF)
+    # index with our own BAI writer: simplest is to re-read with the pure
+    # Python reader and emit a minimal linear+binning index
+    index_bam(path)
+
+
+def index_bam(path):
+    """Minimal BAI builder (one chunk per 16kb window via standard bins)."""
+    from paragraph_tpu.io.bgzf import BgzfReader
+
+    bgzf = BgzfReader(path)
+    magic = bgzf.read(4)
+    assert magic == b"BAM\x01"
+    l_text = struct.unpack("<i", bgzf.read(4))[0]
+    bgzf.read(l_text)
+    n_ref = struct.unpack("<i", bgzf.read(4))[0]
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", bgzf.read(4))[0]
+        bgzf.read(l_name)
+        bgzf.read(4)
+    bins = {}
+    ioffsets = []
+    n_mapped = 0
+    while True:
+        voff = bgzf.tell_virtual()
+        raw = bgzf.read(4)
+        if len(raw) < 4:
+            break
+        size = struct.unpack("<i", raw)[0]
+        data = bgzf.read(size)
+        refid, pos = struct.unpack_from("<ii", data, 0)
+        n_cigar = struct.unpack_from("<H", data, 12)[0]
+        l_read_name = data[8]
+        rlen = 0
+        off = 32 + l_read_name
+        for i in range(n_cigar):
+            v = struct.unpack_from("<I", data, off + 4 * i)[0]
+            if (v & 0xF) in (0, 2, 3, 7, 8):
+                rlen += v >> 4
+        end = pos + max(rlen, 1)
+        n_mapped += 1
+        # smallest bin containing [pos, end)
+        b = 0
+        for shift, offset in ((14, 4681), (17, 585), (20, 73), (23, 9),
+                              (26, 1)):
+            if (pos >> shift) == ((end - 1) >> shift):
+                b = offset + (pos >> shift)
+                break
+        vend = bgzf.tell_virtual()
+        bins.setdefault(b, []).append((voff, vend))
+        w_beg, w_end = pos >> 14, (end - 1) >> 14
+        while len(ioffsets) <= w_end:
+            ioffsets.append(0)
+        for w in range(w_beg, w_end + 1):
+            if ioffsets[w] == 0 or voff < ioffsets[w]:
+                ioffsets[w] = voff
+    # fill linear index gaps
+    last = 0
+    for i, v in enumerate(ioffsets):
+        if v == 0:
+            ioffsets[i] = last
+        else:
+            last = v
+    out = b"BAI\x01" + struct.pack("<i", 1)
+    merged_bins = {}
+    for b, chunks in bins.items():
+        chunks.sort()
+        m = [list(chunks[0])]
+        for c in chunks[1:]:
+            if c[0] <= m[-1][1]:
+                m[-1][1] = max(m[-1][1], c[1])
+            else:
+                m.append(list(c))
+        merged_bins[b] = m
+    out += struct.pack("<i", len(merged_bins))
+    for b in sorted(merged_bins):
+        out += struct.pack("<Ii", b, len(merged_bins[b]))
+        for beg, end in merged_bins[b]:
+            out += struct.pack("<QQ", beg, end)
+    out += struct.pack("<i", len(ioffsets))
+    for v in ioffsets:
+        out += struct.pack("<Q", v)
+    with open(path + ".bai", "wb") as f:
+        f.write(out)
+
+
+def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
+             contig="chrS", spacing=6000, seed=1):
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    events = []
+    pos = 2000
+    for i in range(n_events):
+        kind = rng.choice(["DEL", "INS"])
+        size = rng.randint(60, 400)
+        gt = rng.choice(["0/1", "1/1", "0/0"])
+        events.append({"kind": kind, "pos": pos, "size": size, "gt": gt})
+        pos += spacing
+    ref_len = pos + 2000
+    ref = "".join(rng.choice("ACGT") for _ in range(ref_len))
+
+    # haplotypes: apply alt allele per event where gt says so
+    def apply(hap_idx):
+        parts = []
+        cur = 0
+        coord = []  # (hap offset, ref offset) anchors unused; simple concat
+        for ev in events:
+            has_alt = (ev["gt"] == "1/1" or
+                       (ev["gt"] == "0/1" and hap_idx == 1))
+            parts.append(ref[cur:ev["pos"]])
+            if has_alt:
+                if ev["kind"] == "DEL":
+                    cur = ev["pos"] + ev["size"]
+                else:
+                    ins = "".join(rng.choice("ACGT")
+                                  for _ in range(ev["size"]))
+                    ev.setdefault("ins_seq", ins)
+                    parts.append(ev["ins_seq"])
+                    cur = ev["pos"]
+            else:
+                cur = ev["pos"]
+        parts.append(ref[cur:])
+        return "".join(parts)
+
+    # make insertion sequences deterministic across haplotypes
+    for ev in events:
+        if ev["kind"] == "INS":
+            ev["ins_seq"] = "".join(rng.choice("ACGT")
+                                    for _ in range(ev["size"]))
+    haps = [apply(0), apply(1)]
+
+    # simulate reads
+    n_frags = ref_len * depth // (2 * 2 * read_len)
+    sim = []
+    for i in range(n_frags * 2):
+        hap = haps[i & 1]
+        if len(hap) < frag_len + 10:
+            continue
+        start = rng.randrange(0, len(hap) - frag_len)
+        frag = hap[start:start + frag_len]
+        r1 = frag[:read_len]
+        r2 = frag[-read_len:]
+        for b_idx in range(2):
+            pass
+        sim.append((f"sim{i}", r1, r2))
+
+    def rc(s):
+        return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+    def mutate(s):
+        out = list(s)
+        for j in range(len(out)):
+            if rng.random() < 0.002:
+                out[j] = rng.choice("ACGT")
+        return "".join(out)
+
+    # align simulated reads back naively: report unmapped-placed reads is
+    # wrong; instead map by construction offset on the REFERENCE via a
+    # simple exact anchor — for bench purposes reads just need plausible
+    # positions inside the target regions, the graph aligner re-aligns.
+    qual = chr(33 + 30) * read_len
+    records = []
+    for name, r1, r2 in sim:
+        r1m, r2m = mutate(r1), mutate(r2)
+        # place by searching the reference near event loci is overkill;
+        # approximate placement: find exact 30mer anchor
+        anchor = r1[:30]
+        p = ref.find(anchor)
+        if p < 0:
+            continue
+        p2 = p + frag_len - read_len
+        records.append((p, name, 99, p, p2, frag_len, r1m, qual, True))
+        records.append((p2, name, 147, p2, p, -frag_len, rc(r2m), qual,
+                        False))
+    records.sort(key=lambda r: r[0])
+    bam_recs = []
+    for _, name, flag, p, mp, tlen, seq, q, first in records:
+        bam_recs.append(bam_record(name, flag, 0, p, 60,
+                                   [(0, read_len)], 0, mp, tlen, seq, q))
+    write_bam(os.path.join(out_dir, "sample.bam"), contig, ref_len, bam_recs)
+
+    with open(os.path.join(out_dir, "ref.fa"), "w") as f:
+        f.write(f">{contig}\n")
+        for i in range(0, ref_len, 60):
+            f.write(ref[i:i + 60] + "\n")
+    if os.path.exists(os.path.join(out_dir, "ref.fa.fai")):
+        os.remove(os.path.join(out_dir, "ref.fa.fai"))
+
+    with open(os.path.join(out_dir, "candidates.vcf"), "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={contig},length={ref_len}>\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for i, ev in enumerate(events):
+            if ev["kind"] == "DEL":
+                ref_allele = ref[ev["pos"] - 1:ev["pos"] + ev["size"]]
+                alt = ref[ev["pos"] - 1]
+            else:
+                ref_allele = ref[ev["pos"] - 1]
+                alt = ref[ev["pos"] - 1] + ev["ins_seq"]
+            f.write(f"{contig}\t{ev['pos']}\tev{i}\t{ref_allele}\t{alt}"
+                    f"\t.\tPASS\t.\n")
+
+    with open(os.path.join(out_dir, "samples.txt"), "w") as f:
+        f.write("id\tpath\tdepth\tread length\n")
+        f.write(f"sample\t{out_dir}/sample.bam\t{depth}\t{read_len}\n")
+
+    with open(os.path.join(out_dir, "truth.json"), "w") as f:
+        json.dump(events, f, indent=1)
+    return events
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--events", type=int, default=50)
+    ap.add_argument("--depth", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=1)
+    args = ap.parse_args()
+    evs = generate(args.out_dir, n_events=args.events, depth=args.depth,
+                   seed=args.seed)
+    print(f"wrote {len(evs)} events to {args.out_dir}")
