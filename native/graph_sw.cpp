@@ -48,11 +48,18 @@ struct Node {
 
 struct GraphCtx {
   std::vector<Node> nodes;
+  // per-context fill scratch, reused across calls (a context is owned by
+  // one thread — the Python side creates one engine per worker)
+  void* scratch = nullptr;
 };
 
 struct NodeFill {
-  // matrices are [len][m_pad] but we expose only [.][m_real] to traceback
-  std::vector<int32_t> H, E, F;   // len * m_pad
+  // Only H is materialised ([len][m_pad]); E and F are recomputed on
+  // demand during traceback from H + the node's seed column (they are
+  // pure functions of those), which cuts fill memory traffic 3x and
+  // lets the row loops auto-vectorize.
+  std::vector<int32_t> H;         // len * m_pad
+  std::vector<int32_t> seed_E;    // m_pad: E entering row 0
   std::vector<int32_t> last_H;    // m_pad
   std::vector<int32_t> next_E;    // m_pad
   int score1 = 0;
@@ -77,29 +84,36 @@ void fill_graph(const GraphCtx& g, const char* read, int m_real,
   const int m_pad = ((m_real + 15) / 16) * 16;
   out->m_real = m_real;
   out->m_pad = m_pad;
-  std::vector<int> read_c(m_pad, 4);
-  bool read_has_pad = m_pad > m_real;
-  std::vector<bool> is_pad(m_pad, false);
-  for (int j = 0; j < m_real; ++j) read_c[j] = nt_class(read[j]);
-  for (int j = m_real; j < m_pad; ++j) is_pad[j] = true;
+
+  // per-read substitution profile [5][m_pad]: prof[rc][j] = score of
+  // node base class rc against read position j (0 on pad lanes / N)
+  std::vector<int32_t> prof((size_t)5 * m_pad, 0);
+  for (int rc = 0; rc < 4; ++rc) {
+    int32_t* p = &prof[(size_t)rc * m_pad];
+    for (int j = 0; j < m_real; ++j) {
+      const int c = nt_class(read[j]);
+      p[j] = (c == 4) ? 0 : (c == rc ? kMatch : -kMismatch);
+    }
+    for (int j = m_real; j < m_pad; ++j) p[j] = 0;
+  }
 
   const size_t n = g.nodes.size();
-  out->fills.clear();
-  out->fills.resize(n);
+  if (out->fills.size() != n) {
+    out->fills.clear();
+    out->fills.resize(n);
+  }
   out->max_node = 0;
   out->max_score = 0;
   bool have_max = false;
 
   std::vector<int32_t> seed_H(m_pad), seed_E(m_pad);
-  std::vector<int32_t> hcol(m_pad), ecol(m_pad), fcol(m_pad), hp(m_pad);
+  std::vector<int32_t> ecol(m_pad), hp(m_pad);
 
   for (size_t nid = 0; nid < n; ++nid) {
     const Node& node = g.nodes[nid];
     NodeFill& f = out->fills[nid];
     const int len = (int)node.seq.size();
-    f.H.assign((size_t)len * m_pad, 0);
-    f.E.assign((size_t)len * m_pad, 0);
-    f.F.assign((size_t)len * m_pad, 0);
+    f.H.resize((size_t)len * m_pad);  // fully overwritten below
 
     if (node.preds.empty()) {
       std::fill(seed_H.begin(), seed_H.end(), 0);
@@ -116,55 +130,63 @@ void fill_graph(const GraphCtx& g, const char* read, int m_real,
         }
       }
     }
-
-    std::vector<int32_t>& h_prev = seed_H;
+    f.seed_E = seed_E;
     ecol = seed_E;
     int score1 = 0, ref_end1 = -1, read_end1 = m_real - 1;
-    std::vector<int32_t> best_col;
 
+    const int32_t* h_prev = seed_H.data();
     for (int i = 0; i < len; ++i) {
-      const int rc = nt_class(node.seq[(size_t)i]);
+      const int32_t* prow =
+          &prof[(size_t)nt_class(node.seq[(size_t)i]) * m_pad];
       int32_t* Hrow = &f.H[(size_t)i * m_pad];
-      int32_t* Erow = &f.E[(size_t)i * m_pad];
-      int32_t* Frow = &f.F[(size_t)i * m_pad];
-      // H' = max(0, diag + s, E); then F prefix; H = max(H', F)
-      int32_t fval = 0;  // F(i,0) = 0
-      int col_max = 0;
-      for (int j = 0; j < m_pad; ++j) {
-        const int s = is_pad[j] ? 0 : score_of(rc, read_c[j]);
-        const int32_t diag = j > 0 ? h_prev[j - 1] : 0;
-        int32_t hpv = diag + s;
-        if (hpv < 0) hpv = 0;
-        if (ecol[j] > hpv) hpv = ecol[j];
-        if (j > 0) {
-          // F(i,j) = max(0, F(i,j-1)-gapE, H(i,j-1)-gapO); H here is the
-          // final previous-j H, which the sequential order provides
-          int32_t fv = std::max(fval - kGapExtend, Hrow[j - 1] - kGapOpen);
-          fval = fv > 0 ? fv : 0;
-        } else {
-          fval = 0;
+      int32_t* hpv = hp.data();
+      const int32_t* ec = ecol.data();
+      // 1) H' = max(0, diag + s, E)  — vectorizable shift/max
+      {
+        int32_t v = prow[0] > 0 ? prow[0] : 0;  // diag(0) = 0
+        hpv[0] = v > ec[0] ? v : ec[0];
+      }
+      for (int j = 1; j < m_pad; ++j) {
+        int32_t v = h_prev[j - 1] + prow[j];
+        if (v < 0) v = 0;
+        hpv[j] = v > ec[j] ? v : ec[j];
+      }
+      // 2) F prefix scan in closed form over H' (valid for gapO >= gapE:
+      //    F never improves by chaining through an F-derived H), then
+      //    H = max(H', F)
+      {
+        int32_t gmax = INT32_MIN / 2;
+        Hrow[0] = hpv[0];
+        for (int j = 1; j < m_pad; ++j) {
+          const int32_t cand = hpv[j - 1] - kGapOpen;
+          gmax -= kGapExtend;
+          if (cand > gmax) gmax = cand;
+          const int32_t fv = gmax > 0 ? gmax : 0;
+          Hrow[j] = hpv[j] > fv ? hpv[j] : fv;
         }
-        int32_t hv = hpv > fval ? hpv : fval;
-        Hrow[j] = hv;
-        Erow[j] = ecol[j];
-        Frow[j] = fval;
-        if (hv > col_max) col_max = hv;
       }
-      // E for next column
+      // 3) E for the next row — vectorizable
+      int32_t* ecw = ecol.data();
       for (int j = 0; j < m_pad; ++j) {
-        int32_t ev = std::max(ecol[j] - kGapExtend, Hrow[j] - kGapOpen);
-        ecol[j] = ev > 0 ? ev : 0;
+        int32_t ev = ecw[j] - kGapExtend;
+        const int32_t hv = Hrow[j] - kGapOpen;
+        if (hv > ev) ev = hv;
+        ecw[j] = ev > 0 ? ev : 0;
       }
-      h_prev.assign(Hrow, Hrow + m_pad);
+      // 4) row max — vectorizable reduction
+      int32_t col_max = 0;
+      for (int j = 0; j < m_pad; ++j)
+        if (Hrow[j] > col_max) col_max = Hrow[j];
+      h_prev = Hrow;
       if (col_max > score1) {
         score1 = col_max;
         ref_end1 = i;
-        best_col.assign(Hrow, Hrow + m_pad);
       }
     }
-    if (!best_col.empty()) {
+    if (ref_end1 >= 0) {
+      const int32_t* best_row = &f.H[(size_t)ref_end1 * m_pad];
       for (int j = 0; j < m_pad; ++j) {
-        if (best_col[j] == score1 && j < read_end1) {
+        if (best_row[j] == score1 && j < read_end1) {
           read_end1 = j;
           break;
         }
@@ -172,7 +194,11 @@ void fill_graph(const GraphCtx& g, const char* read, int m_real,
     } else if (m_real > 1) {
       read_end1 = 0;  // all-zero fill: gssw scans its zeroed pvHmax
     }
-    f.last_H = h_prev;
+    if (len > 0) {
+      f.last_H.assign(h_prev, h_prev + m_pad);
+    } else {
+      f.last_H = seed_H;
+    }
     f.next_E = ecol;
     f.score1 = score1;
     f.ref_end1 = ref_end1;
@@ -245,11 +271,29 @@ void trace_back(const GraphCtx& g, const FillResult& r, const char* read,
   auto H = [&](const NodeFill* nf, int i, int j) {
     return nf->H[(size_t)i * m_pad + j];
   };
+  // E/F are recomputed from H + the node's seed column (exact same
+  // recurrences the fill evaluates); traceback touches O(path) cells so
+  // the O(i)/O(j) walks are negligible.
   auto E = [&](const NodeFill* nf, int i, int j) {
-    return nf->E[(size_t)i * m_pad + j];
+    int32_t e = nf->seed_E[j];
+    for (int k = 1; k <= i; ++k) {
+      int32_t ev = e - kGapExtend;
+      const int32_t hv = nf->H[(size_t)(k - 1) * m_pad + j] - kGapOpen;
+      if (hv > ev) ev = hv;
+      e = ev > 0 ? ev : 0;
+    }
+    return e;
   };
   auto F = [&](const NodeFill* nf, int i, int j) {
-    return nf->F[(size_t)i * m_pad + j];
+    int32_t fv = 0;
+    const int32_t* Hrow = &nf->H[(size_t)i * m_pad];
+    for (int k = 1; k <= j; ++k) {
+      int32_t v = fv - kGapExtend;
+      const int32_t hv = Hrow[k - 1] - kGapOpen;
+      if (hv > v) v = hv;
+      fv = v > 0 ? v : 0;
+    }
+    return fv;
   };
 
   while (score > 0) {
@@ -435,7 +479,16 @@ void* gsw_create(int n_nodes, const char** seqs, const int* pred_offsets,
   return g;
 }
 
-void gsw_destroy(void* ctx) { delete (GraphCtx*)ctx; }
+void gsw_destroy(void* ctx) {
+  GraphCtx* g = (GraphCtx*)ctx;
+  delete (FillResult*)g->scratch;
+  delete g;
+}
+
+FillResult* ctx_scratch(GraphCtx* g) {
+  if (!g->scratch) g->scratch = new FillResult();
+  return (FillResult*)g->scratch;
+}
 
 // Fill + traceback + uniqueness on one read. Returns 0 on success.
 // cigar_buf receives the node-CIGAR string ("0[4S10M]1[...]").
@@ -445,7 +498,7 @@ int gsw_align(void* ctx, const char* read, int read_len, int* score,
   GraphCtx* g = (GraphCtx*)ctx;
   std::string upper(read, (size_t)read_len);
   for (char& c : upper) c = (char)toupper((unsigned char)c);
-  FillResult r;
+  FillResult& r = *ctx_scratch(g);
   fill_graph(*g, upper.c_str(), read_len, &r);
   Mapping gm;
   trace_back(*g, r, upper.c_str(), &gm);
@@ -464,7 +517,7 @@ int gsw_score(void* ctx, const char* read, int read_len, int* score,
   GraphCtx* g = (GraphCtx*)ctx;
   std::string upper(read, (size_t)read_len);
   for (char& c : upper) c = (char)toupper((unsigned char)c);
-  FillResult r;
+  FillResult& r = *ctx_scratch(g);
   fill_graph(*g, upper.c_str(), read_len, &r);
   *score = r.max_score;
   *multi = ends_at_multiple_nodes(r) ? 1 : 0;
