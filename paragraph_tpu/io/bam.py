@@ -237,7 +237,7 @@ class BamReader:
         self._data_start = self._bgzf.tell_virtual()
         self._index = BaiIndex(index_path or path + ".bai")
 
-    def _records_in_chunks(self, chunks) -> Iterator[BamRecord]:
+    def _raw_records_in_chunks(self, chunks) -> Iterator[bytes]:
         for cbeg, cend in chunks:
             self._bgzf.seek_virtual(cbeg)
             while self._bgzf.tell_virtual() < cend:
@@ -248,22 +248,41 @@ class BamReader:
                 data = self._bgzf.read(block_size)
                 if len(data) < block_size:
                     break
-                yield _decode_record(data)
+                yield data
+
+    def _records_in_chunks(self, chunks) -> Iterator[BamRecord]:
+        for data in self._raw_records_in_chunks(chunks):
+            yield _decode_record(data)
 
     def fetch(self, tid: int, beg: int, end: int,
               primary_only: bool = True) -> Iterator[BamRecord]:
-        """Yield records overlapping [beg, end) on contig `tid` (0-based)."""
-        chunks = self._index.chunks_for_region(tid, beg, end)
-        for rec in self._records_in_chunks(chunks):
-            if rec.chrom_id != tid:
+        """Yield records overlapping [beg, end) on contig `tid` (0-based).
+
+        Region/flag filters run on the cheap fixed-size record prefix;
+        bases/quals/name only decode for records that pass (the BAI linear
+        index is 16kb-grained, so chunks often start well before `beg`)."""
+        for data in self._raw_records_in_chunks(
+                self._index.chunks_for_region(tid, beg, end)):
+            refid, pos = struct.unpack_from("<ii", data, 0)
+            if refid != tid:
                 continue
-            if rec.pos >= end:
+            if pos >= end:
                 break
-            if rec.end_pos() <= beg:
+            flag = struct.unpack_from("<H", data, 14)[0]
+            if primary_only and (flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)):
                 continue
-            if primary_only and (rec.is_secondary or rec.is_supplementary):
-                continue
-            yield rec
+            if pos + 1 <= beg:
+                # needs the CIGAR reference span to decide overlap
+                l_read_name = data[8]
+                n_cigar = struct.unpack_from("<H", data, 12)[0]
+                off = 32 + l_read_name
+                rlen = 0
+                for v in struct.unpack_from(f"<{n_cigar}I", data, off):
+                    if (v & 0xF) in _REF_CONSUME:
+                        rlen += v >> 4
+                if pos + (rlen if rlen > 0 else 1) <= beg:
+                    continue
+            yield _decode_record(data)
 
     def fetch_region(self, region_str: str, primary_only: bool = True):
         from .regions import parse_region
