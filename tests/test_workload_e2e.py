@@ -56,3 +56,21 @@ def test_synthetic_workload_genotypes(workload):
     # long-insertion support is underrepresented by the simulator's
     # reference-anchor placement; everything else must be exact
     assert n_ok >= len(events) - 1, misses
+
+
+def test_idxdepth_recovers_simulated_depth(workload):
+    """idxdepth's sampled-pileup median (BamReader::estimateDepth
+    semantics) must recover the simulator's known coverage."""
+    from paragraph_tpu.pipeline.idxdepth import estimate_depths
+
+    out_dir, _events = workload
+    result = estimate_depths(
+        os.path.join(out_dir, "sample.bam"),
+        os.path.join(out_dir, "ref.fa"))
+    contigs = {c["name"]: c for c in result["contigs"]}
+    assert "chrS" in contigs
+    depth = contigs["chrS"]["depth"]
+    # simulated at ~30x (anchor placement drops a few % of pairs)
+    assert 20 <= depth <= 35, depth
+    assert contigs["chrS"]["reads"] > 0
+    assert result["read_length"] == 150

@@ -91,6 +91,7 @@ def index_bam(path):
     bins = {}
     ioffsets = []
     n_mapped = 0
+    first_voff = last_voff = None
     while True:
         voff = bgzf.tell_virtual()
         raw = bgzf.read(4)
@@ -117,6 +118,9 @@ def index_bam(path):
                 b = offset + (pos >> shift)
                 break
         vend = bgzf.tell_virtual()
+        if first_voff is None:
+            first_voff = voff
+        last_voff = vend
         bins.setdefault(b, []).append((voff, vend))
         w_beg, w_end = pos >> 14, (end - 1) >> 14
         while len(ioffsets) <= w_end:
@@ -142,11 +146,15 @@ def index_bam(path):
             else:
                 m.append(list(c))
         merged_bins[b] = m
-    out += struct.pack("<i", len(merged_bins))
+    out += struct.pack("<i", len(merged_bins) + 1)
     for b in sorted(merged_bins):
         out += struct.pack("<Ii", b, len(merged_bins[b]))
         for beg, end in merged_bins[b]:
             out += struct.pack("<QQ", beg, end)
+    # 37450 pseudo bin: (ref span voffsets), (mapped, unmapped) stats
+    out += struct.pack("<Ii", 37450, 2)
+    out += struct.pack("<QQ", first_voff or 0, last_voff or 0)
+    out += struct.pack("<QQ", n_mapped, 0)
     out += struct.pack("<i", len(ioffsets))
     for v in ioffsets:
         out += struct.pack("<Q", v)
