@@ -175,78 +175,86 @@ def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
         events.append({"kind": kind, "pos": pos, "size": size, "gt": gt})
         pos += spacing
     ref_len = pos + 2000
-    ref = "".join(rng.choice("ACGT") for _ in range(ref_len))
-
-    # haplotypes: apply alt allele per event where gt says so
-    def apply(hap_idx):
-        parts = []
-        cur = 0
-        coord = []  # (hap offset, ref offset) anchors unused; simple concat
-        for ev in events:
-            has_alt = (ev["gt"] == "1/1" or
-                       (ev["gt"] == "0/1" and hap_idx == 1))
-            parts.append(ref[cur:ev["pos"]])
-            if has_alt:
-                if ev["kind"] == "DEL":
-                    cur = ev["pos"] + ev["size"]
-                else:
-                    ins = "".join(rng.choice("ACGT")
-                                  for _ in range(ev["size"]))
-                    ev.setdefault("ins_seq", ins)
-                    parts.append(ev["ins_seq"])
-                    cur = ev["pos"]
-            else:
-                cur = ev["pos"]
-        parts.append(ref[cur:])
-        return "".join(parts)
+    ref = "".join(rng.choices("ACGT", k=ref_len))
 
     # make insertion sequences deterministic across haplotypes
     for ev in events:
         if ev["kind"] == "INS":
-            ev["ins_seq"] = "".join(rng.choice("ACGT")
-                                    for _ in range(ev["size"]))
-    haps = [apply(0), apply(1)]
+            ev["ins_seq"] = "".join(rng.choices("ACGT", k=ev["size"]))
+
+    # haplotypes: apply alt allele per event where gt says so; track the
+    # hap→ref coordinate map so read placement is analytic
+    def apply(hap_idx):
+        parts = []
+        cur = 0
+        anchors = []  # (hap_start, ref_start, seg_len) of ref-copied runs
+        hap_len = 0
+        for ev in events:
+            has_alt = (ev["gt"] == "1/1" or
+                       (ev["gt"] == "0/1" and hap_idx == 1))
+            seg_len = ev["pos"] - cur
+            anchors.append((hap_len, cur, seg_len))
+            parts.append(ref[cur:ev["pos"]])
+            hap_len += seg_len
+            if has_alt:
+                if ev["kind"] == "DEL":
+                    cur = ev["pos"] + ev["size"]
+                else:
+                    parts.append(ev["ins_seq"])
+                    hap_len += ev["size"]
+                    cur = ev["pos"]
+            else:
+                cur = ev["pos"]
+        anchors.append((hap_len, cur, ref_len - cur))
+        parts.append(ref[cur:])
+        return "".join(parts), anchors
+
+    h0, a0 = apply(0)
+    h1, a1 = apply(1)
+    haps = [(h0, a0), (h1, a1)]
+
+    import bisect
+
+    def hap_to_ref(anchors, s):
+        """Reference position of hap offset s (insertion offsets map to
+        the insertion point — the graph aligner re-aligns anyway)."""
+        starts = [a[0] for a in anchors]
+        k = bisect.bisect_right(starts, s) - 1
+        hap_start, ref_start, seg_len = anchors[k]
+        off = s - hap_start
+        return ref_start + min(off, max(seg_len - 1, 0))
 
     # simulate reads
     n_frags = ref_len * depth // (2 * 2 * read_len)
     sim = []
     for i in range(n_frags * 2):
-        hap = haps[i & 1]
+        hap, anchors = haps[i & 1]
         if len(hap) < frag_len + 10:
             continue
         start = rng.randrange(0, len(hap) - frag_len)
         frag = hap[start:start + frag_len]
-        r1 = frag[:read_len]
-        r2 = frag[-read_len:]
-        for b_idx in range(2):
-            pass
-        sim.append((f"sim{i}", r1, r2))
+        sim.append((f"sim{i}", frag[:read_len], frag[-read_len:],
+                    hap_to_ref(anchors, start),
+                    hap_to_ref(anchors, start + frag_len - read_len)))
 
     def rc(s):
         return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
 
     def mutate(s):
+        k = rng.binomialvariate(len(s), 0.002) if hasattr(
+            rng, "binomialvariate") else sum(
+                rng.random() < 0.002 for _ in range(len(s)))
+        if not k:
+            return s
         out = list(s)
-        for j in range(len(out)):
-            if rng.random() < 0.002:
-                out[j] = rng.choice("ACGT")
+        for _ in range(k):
+            out[rng.randrange(len(out))] = rng.choice("ACGT")
         return "".join(out)
 
-    # align simulated reads back naively: report unmapped-placed reads is
-    # wrong; instead map by construction offset on the REFERENCE via a
-    # simple exact anchor — for bench purposes reads just need plausible
-    # positions inside the target regions, the graph aligner re-aligns.
     qual = chr(33 + 30) * read_len
     records = []
-    for name, r1, r2 in sim:
+    for name, r1, r2, p, p2 in sim:
         r1m, r2m = mutate(r1), mutate(r2)
-        # place by searching the reference near event loci is overkill;
-        # approximate placement: find exact 30mer anchor
-        anchor = r1[:30]
-        p = ref.find(anchor)
-        if p < 0:
-            continue
-        p2 = p + frag_len - read_len
         records.append((p, name, 99, p, p2, frag_len, r1m, qual, True))
         records.append((p2, name, 147, p2, p, -frag_len, rc(r2m), qual,
                         False))
