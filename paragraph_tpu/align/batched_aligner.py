@@ -9,6 +9,8 @@ produce its node-CIGAR.
 """
 from __future__ import annotations
 
+import logging
+import os
 from typing import List, Optional
 
 from ..graph.model import SequenceGraph
@@ -16,6 +18,17 @@ from ..ops.batched_sw import BatchedGraphSW
 from ..reads.read import Read
 from .graph_aligner import reverse_complement
 from .gssw import GraphSW
+
+logger = logging.getLogger("paragraph")
+
+
+def resolve_threads(threads: int) -> int:
+    """threads<=0 means auto (hardware concurrency), mirroring the
+    reference CLIs' std::thread::hardware_concurrency() default
+    (/root/reference/src/c++/main/paragraph.cpp:73)."""
+    if threads and threads > 0:
+        return threads
+    return os.cpu_count() or 1
 
 
 def _make_scorer(graph: SequenceGraph):
@@ -27,8 +40,13 @@ def _make_scorer(graph: SequenceGraph):
             from ..ops.pallas_sw import PallasGraphSW
 
             return PallasGraphSW(graph)
-        except Exception:
-            pass
+        except Exception as exc:
+            # deliberate broad catch: any device/toolchain failure must
+            # degrade to the (slower, exact) scan engine — but loudly
+            logger.warning(
+                "Pallas graph-SW unavailable (%s: %s); using the XLA scan "
+                "engine (expect ~30x slower scoring)",
+                type(exc).__name__, exc)
     return BatchedGraphSW(graph)
 
 
@@ -45,12 +63,17 @@ def make_orientation_batches(reads: List[Read]):
 
 class BatchedGraphAligner:
     def __init__(self, graph: Optional[SequenceGraph] = None,
-                 scoring: bool = True):
+                 scoring: bool = True, threads: int = 1):
         self._fwd_scorer: Optional[BatchedGraphSW] = None
         self._rev_scorer: Optional[BatchedGraphSW] = None
         self._fwd_scalar: Optional[GraphSW] = None
         self._fwd_native = None
         self._scoring = scoring
+        self.threads = threads
+        #: which scoring engine actually ran ("pallas" | "scan" |
+        #: "precomputed"); surfaced in alignment_statistics so a silent
+        #: device fallback is visible in the output JSON
+        self.engine = "none"
         if graph is not None:
             self.set_graph(graph)
 
@@ -94,6 +117,7 @@ class BatchedGraphAligner:
 
         if precomputed is not None:
             f_score, f_multi, r_multi = precomputed
+            self.engine = "precomputed"
         else:
             try:
                 if (hasattr(self._fwd_scorer, "score_device")
@@ -111,19 +135,28 @@ class BatchedGraphAligner:
                             self._fwd_scorer.score(fwd_batch)
                         _, _, _, _, r_multi = \
                             self._rev_scorer.score(rev_batch)
+                    self.engine = "pallas"
                 else:
                     f_score, _, _, _, f_multi = \
                         self._fwd_scorer.score(fwd_batch)
                     _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
-            except Exception:
+                    self.engine = "scan"
+            except Exception as exc:
                 # device kernel failed (e.g. Mosaic/compile issue on this
-                # toolchain) — fall back to the XLA scan scorer permanently
+                # toolchain) — fall back to the XLA scan scorer permanently,
+                # and say so: a mis-compiled kernel on new hardware must
+                # show up as a warning, not just mysterious slowness
                 if isinstance(self._fwd_scorer, BatchedGraphSW):
                     raise
+                logger.warning(
+                    "device graph-SW scoring failed (%s: %s); falling back "
+                    "to the XLA scan engine for this graph",
+                    type(exc).__name__, exc)
                 self._fwd_scorer = BatchedGraphSW(self._fwd_scorer.graph)
                 self._rev_scorer = BatchedGraphSW(self._rev_scorer.graph)
                 f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
                 _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
+                self.engine = "scan"
 
         chosen_list = []
         unique_list = []
@@ -160,11 +193,10 @@ class BatchedGraphAligner:
         # engine releases the GIL, so fan out over threads
         if self._fwd_native is not None and len(reads) > 64:
             import concurrent.futures
-            import os
 
             from .native import NativeGraphSW
 
-            workers = min(8, os.cpu_count() or 1)
+            workers = min(resolve_threads(self.threads), 32)
             engines = [self._fwd_native] + [
                 NativeGraphSW(self._fwd_native.graph)
                 for _ in range(workers - 1)

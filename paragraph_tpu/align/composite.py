@@ -106,7 +106,8 @@ def align_reads(graph: SequenceGraph, paths, reads: List[Read],
                 validate_alignments: bool = False,
                 threads: int = 1,
                 engine: str = "batched",
-                precomputed_scores=None) -> List[Read]:
+                precomputed_scores=None,
+                stats_out: Optional[dict] = None) -> List[Read]:
     """grm::alignReads (Align.cpp:114-156): align every read and keep only
     those that end MAPPED. Returns the filtered read buffer.
 
@@ -119,7 +120,8 @@ def align_reads(graph: SequenceGraph, paths, reads: List[Read],
     if engine == "batched" and graph_matching and not (
             validate_alignments or klib_matching or kmer_matching):
         return _align_reads_batched(graph, paths, reads, filt,
-                                    path_matching, precomputed_scores)
+                                    path_matching, precomputed_scores,
+                                    threads=threads, stats_out=stats_out)
     aligner = CompositeAligner(path_matching, graph_matching,
                                klib_matching, kmer_matching)
     if validate_alignments:
@@ -157,7 +159,9 @@ def align_reads(graph: SequenceGraph, paths, reads: List[Read],
 def _align_reads_batched(graph: SequenceGraph, paths, reads: List[Read],
                          filt: Optional[ReadFilter],
                          path_matching: bool,
-                         precomputed_scores=None) -> List[Read]:
+                         precomputed_scores=None,
+                         threads: int = 1,
+                         stats_out: Optional[dict] = None) -> List[Read]:
     from .batched_aligner import BatchedGraphAligner
 
     path_aligner = None
@@ -178,11 +182,14 @@ def _align_reads_batched(graph: SequenceGraph, paths, reads: List[Read],
             needs_graph.append(read)
 
     batched = BatchedGraphAligner(graph,
-                                  scoring=precomputed_scores is None)
+                                  scoring=precomputed_scores is None,
+                                  threads=threads)
     # only reads still unmapped go to the graph stage (BAD_ALIGN reads get
     # the same second chance the CompositeAligner gives them)
     stage2 = [r for r in needs_graph if r.graph_mapping_status != MAPPED]
     batched.align_reads_batch(stage2, precomputed=precomputed_scores)
+    if stats_out is not None:
+        stats_out["engine"] = batched.engine
     n_filtered = 0
     for read in stage2:
         read.graph_mapping_status = MAPPED

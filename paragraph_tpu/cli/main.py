@@ -61,7 +61,7 @@ def cmd_multigrmpy(argv):
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-r", "--reference-sequence", dest="reference",
                    required=True)
-    p.add_argument("--threads", "-t", type=int, default=1)
+    p.add_argument("--threads", "-t", type=int, default=0)
     p.add_argument("-G", "--genotyping-parameters", default="")
     p.add_argument("-M", "--max-reads-per-event", type=int, default=0)
     p.add_argument("--vcf-split", dest="split_type", default="lines",
@@ -131,7 +131,7 @@ def cmd_grmpy(argv):
     p.add_argument("--path-sequence-matching", default=False)
     p.add_argument("--graph-sequence-matching", default=True)
     p.add_argument("--bad-align-uniq-kmer-len", type=int, default=0)
-    p.add_argument("-t", "--sample-threads", type=int, default=1)
+    p.add_argument("-t", "--sample-threads", type=int, default=0)
     p.add_argument("-z", "--gzip-output", action="store_true")
     p.add_argument("-A", "--alignment-output-folder", default="")
     p.add_argument("--infer-read-haplotypes", action="store_true")
@@ -221,12 +221,17 @@ def cmd_idxdepth(argv):
     p.add_argument("--sex-chromosome-regex", default=r"(chr)?[XY]")
     p.add_argument("--include-alt-contig", action="store_true")
     p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--robust-depth", action="store_true",
+                   help="also fit a MinCovDet robust Gaussian over the "
+                        "sampled depths (outlier-resistant mean/variance "
+                        "per contig)")
     args = p.parse_args(argv)
     out = estimate_depths(
         args.bam, args.reference, include_regex=args.include_regex,
         autosome_regex=args.autosome_regex,
         sex_chromosome_regex=args.sex_chromosome_regex,
-        include_alt_contig=args.include_alt_contig, threads=args.threads)
+        include_alt_contig=args.include_alt_contig, threads=args.threads,
+        robust=args.robust_depth)
     with _open_out(args.output) as f:
         json.dump(out, f, sort_keys=True, indent=2)
     return 0

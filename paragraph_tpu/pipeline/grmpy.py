@@ -28,7 +28,7 @@ from .paragraph import (ALL, DETAILED_READ_COUNTS, EDGE_READ_COUNTS,
 class GrmpyParameters:
     """grmpy::Parameters (grmpy/Parameters.hh)."""
 
-    def __init__(self, threads: int = 1, max_reads: int = 10000,
+    def __init__(self, threads: int = 0, max_reads: int = 10000,
                  bad_align_frac: float = 0.8,
                  path_sequence_matching: bool = False,
                  graph_sequence_matching: bool = True,
@@ -236,8 +236,14 @@ def align_samples_batched(parameters: GrmpyParameters,
                 f_out = results[2 * k]
                 r_out = results[2 * k + 1]
                 precomputed[k] = (f_out[0], f_out[4], r_out[4])
-        except Exception:
-            precomputed = {}  # device path unavailable: score per event
+        except Exception as exc:
+            # device path unavailable: score per event — loudly, so a
+            # mis-compiled kernel shows up as a warning, not slowness
+            logger.warning(
+                "cross-event device scoring failed (%s: %s); falling back "
+                "to per-event scoring for %d (graph x sample) pairs",
+                type(exc).__name__, exc, len(scoring_jobs))
+            precomputed = {}
 
     out_jobs = []
     for k, (gd, pp, graph, s, reads) in enumerate(scoring_jobs):

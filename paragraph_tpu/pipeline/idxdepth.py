@@ -50,11 +50,37 @@ class _Pileup:
         return len(self.pileup(pos))
 
 
+def _sample_depths(starts: List[int], lengths: List[int], first_pos: int,
+                   last_pos: int, step: int) -> List[float]:
+    """Pileup depth at positions first_pos, first_pos+step, … ≤ last_pos,
+    in O((reads + samples)·log reads) via two sorted rank lookups:
+    depth(p) = #(start ≤ p) − #(end ≤ p). Replaces the per-position
+    rescans of the read list (quadratic on a real 30x WGS contig)."""
+    import numpy as np
+
+    s = np.asarray(starts, dtype=np.int64)
+    e = np.sort(s + np.asarray(lengths, dtype=np.int64))
+    pos = np.arange(first_pos, last_pos + 1, step, dtype=np.int64)
+    depth = (np.searchsorted(s, pos, side="right")
+             - np.searchsorted(e, pos, side="right"))
+    return depth.astype(np.float64).tolist()
+
+
 def estimate_contig_depth(reader: BamReader, tid: int,
-                          contig_len: int) -> dict:
+                          contig_len: int, robust: bool = False) -> dict:
     """BamReader::estimateDepth (BamReader.cpp:366-590): subdivide the
     contig into up to 20 intervals, sample reads (10kb / 40k read chunks),
-    accumulate stepped pileup depths until the median converges."""
+    accumulate stepped pileup depths until the median converges.
+
+    The reference accumulates the depth median/variance with boost
+    streaming accumulators (BamReader.cpp:443-444 `tag::median` — a P²
+    estimator — and `tag::variance`); ``P2Quantile`` is the parity port of
+    that. The reference also ships a MinCovDet robust Gaussian
+    (statistics/MinCovDetGaussian.cpp) which no production caller wires
+    in; ``robust=True`` fits it over the sampled depths
+    (utils/statistics.py parity implementation) as an optional
+    outlier-resistant alternative for contigs with coverage spikes.
+    """
     intervals = [(0, contig_len - 1)]
     max_size = contig_len
     while max_size > _INTERVAL_LENGTH and len(intervals) < 20:
@@ -87,7 +113,8 @@ def estimate_contig_depth(reader: BamReader, tid: int,
             if empty[ptr]:
                 continue
             start, end = iv
-            pileup = _Pileup()
+            starts: List[int] = []
+            lengths: List[int] = []
             any_reads = 0
             last_pos = start
             exhausted = True
@@ -101,18 +128,17 @@ def estimate_contig_depth(reader: BamReader, tid: int,
                 any_reads += 1
                 read_lengths.append(float(len(rec.bases)))
                 rl_median.add(float(len(rec.bases)))
-                pileup.add_read(rec.pos, len(rec.bases))
+                starts.append(rec.pos)
+                lengths.append(len(rec.bases))
                 last_pos = rec.pos
                 if last_pos - start > 10_000 and any_reads > 40_000:
                     exhausted = False
                     break
             cur_rl = int(rl_median.value()) or 1
-            pos = start
-            while pos <= last_pos:
-                d = pileup.depth_at(pos)
-                depth_median.add(float(d))
-                depth_values.append(float(d))
-                pos += max(1, cur_rl // 2)
+            for d in _sample_depths(starts, lengths, start, last_pos,
+                                    max(1, cur_rl // 2)):
+                depth_median.add(d)
+                depth_values.append(d)
             if exhausted:
                 empty[ptr] = True
             else:
@@ -131,7 +157,7 @@ def estimate_contig_depth(reader: BamReader, tid: int,
         prev_depth = cur
 
     rl_var = variance_population(read_lengths) if read_lengths else 0.0
-    return {
+    out = {
         "depth_median": round(depth_median.value() * 100) / 100,
         "depth_variance": round(
             variance_population(depth_values) * 100) / 100
@@ -140,6 +166,19 @@ def estimate_contig_depth(reader: BamReader, tid: int,
         "read_length_unique": abs(rl_var) < 2.2e-16,
         "read_count": len(read_lengths),
     }
+    if robust and depth_values:
+        from ..utils.statistics import MinCovDetGaussian
+
+        mcd = MinCovDetGaussian()
+        mcd.fit(depth_values)
+        # zero raw variance degenerates the chi² reweighting to NaN
+        # (division by a zero z-score scale) — the raw fit is exact then
+        m, v = mcd.mean, mcd.variance
+        if m != m or v != v:  # NaN
+            m, v = mcd.raw_mean, mcd.raw_variance
+        out["depth_robust_mean"] = round(m * 100) / 100
+        out["depth_robust_variance"] = round(v * 100) / 100
+    return out
 
 
 def estimate_depths(bam_path: str, reference_path: str,
@@ -148,7 +187,7 @@ def estimate_depths(bam_path: str, reference_path: str,
                     autosome_regex: str = DEFAULT_AUTOSOME_REGEX,
                     sex_chromosome_regex: str = DEFAULT_SEX_CHROMOSOME_REGEX,
                     include_alt_contig: bool = False,
-                    threads: int = 1) -> dict:
+                    threads: int = 1, robust: bool = False) -> dict:
     """estimateDepths (DepthEstimation.cpp:48-295)."""
     reference = FastaFile(reference_path)
     reader = BamReader(bam_path, bam_index_path, reference_path)
@@ -200,7 +239,7 @@ def estimate_depths(bam_path: str, reference_path: str,
     for tid, (name, length) in enumerate(reader.contigs):
         if name not in bam_chromosomes:
             continue
-        info = estimate_contig_depth(reader, tid, length)
+        info = estimate_contig_depth(reader, tid, length, robust=robust)
         contig_info = {
             "name": name,
             "length": length,
@@ -209,6 +248,11 @@ def estimate_depths(bam_path: str, reference_path: str,
             "depth_variance": info["depth_variance"],
             "reads_for_estimation": info["read_count"],
         }
+        if robust:
+            contig_info["depth_robust_mean"] = info.get(
+                "depth_robust_mean", 0.0)
+            contig_info["depth_robust_variance"] = info.get(
+                "depth_robust_variance", 0.0)
         if index_stats and index_stats[tid] and index_stats[tid][0] > 0:
             contig_info["reads"] = index_stats[tid][0]
             contig_info["index_depth"] = (

@@ -60,7 +60,9 @@ class Parameters:
         self.reference_path = ""
         self.target_regions: List[str] = []
         self.longest_alt_insertion = 0
-        self.threads = 1
+        # 0 = auto (hardware concurrency), like the reference CLIs'
+        # std::thread::hardware_concurrency() default (paragraph.cpp:73)
+        self.threads = 0
         self.kmer_len = 0
         self.remove_nonuniq_reads = True
 
@@ -129,6 +131,7 @@ def align_and_disambiguate(parameters: Parameters,
             output_reads.append(r)
         return filtered
 
+    align_stats: Dict[str, object] = {}
     kept = align_reads(
         graph, paths_from_json(graph, parameters.description.get("paths")),
         all_reads, read_filter_function,
@@ -137,7 +140,7 @@ def align_and_disambiguate(parameters: Parameters,
         parameters.klib_sequence_matching,
         parameters.kmer_sequence_matching,
         parameters.validate_alignments, parameters.threads,
-        precomputed_scores=precomputed_scores)
+        precomputed_scores=precomputed_scores, stats_out=align_stats)
     all_reads[:] = kept
 
     if parameters.output_enabled(HAPLOTYPES):
@@ -179,6 +182,10 @@ def align_and_disambiguate(parameters: Parameters,
         bad_alignment_pct = (
             read_filter_counts.get("bad_align", 0) / total_reads_input)
     output["alignment_statistics"]["bad_alignment_pct"] = bad_alignment_pct
+    if align_stats.get("engine"):
+        # which scoring engine actually ran (pallas | scan | precomputed):
+        # makes silent device fallbacks visible in the output JSON
+        output["alignment_statistics"]["engine"] = align_stats["engine"]
     for error, count in sorted(read_filter_counts.items()):
         output["alignment_statistics"]["read_filter_" + error] = count
 

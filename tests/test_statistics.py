@@ -67,3 +67,55 @@ def test_read_pileup():
     pileup.flush(41)
     assert pileup.pileup(20) == []
     assert sorted(pileup.pileup(45)) == [30, 40]
+
+
+def test_sample_depths_matches_pileup_rescans():
+    """The O(n log n) rank-lookup depth sampler must agree exactly with
+    the per-position _Pileup rescans it replaced."""
+    import random
+
+    from paragraph_tpu.pipeline.idxdepth import _Pileup, _sample_depths
+
+    rng = random.Random(11)
+    starts = sorted(rng.randrange(0, 5000) for _ in range(800))
+    lengths = [rng.randrange(50, 250) for _ in starts]
+    pileup = _Pileup()
+    for s, ln in zip(starts, lengths):
+        pileup.add_read(s, ln)
+    step = 75
+    first, last = 0, 5400
+    fast = _sample_depths(starts, lengths, first, last, step)
+    slow = [float(pileup.depth_at(p)) for p in range(first, last + 1, step)]
+    assert fast == slow
+
+
+def test_idxdepth_robust_mode():
+    """robust=True adds a MinCovDet fit over the sampled depths without
+    changing the parity outputs."""
+    from paragraph_tpu.pipeline import idxdepth as mod
+
+    class FakeRec:
+        def __init__(self, pos, n):
+            self.pos = pos
+            self.bases = "A" * n
+            self.quals = "#" * n
+
+    class FakeReader:
+        def fetch(self, tid, start, end, primary_only=True):
+            # ~30x coverage with mild jitter plus one extreme spike
+            import random
+            rng = random.Random(5)
+            p = 0
+            while p < 3000:
+                yield FakeRec(p, 150)
+                p += rng.choice((4, 5, 6))
+            for _ in range(500):
+                yield FakeRec(3000, 150)
+
+    base = mod.estimate_contig_depth(FakeReader(), 0, 4000)
+    rob = mod.estimate_contig_depth(FakeReader(), 0, 4000, robust=True)
+    assert base["depth_median"] == rob["depth_median"]
+    assert base["depth_variance"] == rob["depth_variance"]
+    assert "depth_robust_mean" in rob
+    # the robust variance must shrug off the spike
+    assert rob["depth_robust_variance"] < rob["depth_variance"]
