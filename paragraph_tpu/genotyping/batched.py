@@ -14,6 +14,9 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
+from ..utils.jaxcfg import configure as _jax_configure
+_jax_configure()
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln

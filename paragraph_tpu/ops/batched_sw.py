@@ -32,6 +32,9 @@ from typing import List, Tuple
 
 import numpy as np
 
+from ..utils.jaxcfg import configure as _jax_configure
+_jax_configure()
+
 import jax
 import jax.numpy as jnp
 

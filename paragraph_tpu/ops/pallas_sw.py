@@ -41,6 +41,9 @@ from typing import List
 
 import numpy as np
 
+from ..utils.jaxcfg import configure as _jax_configure
+_jax_configure()
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

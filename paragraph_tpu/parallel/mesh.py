@@ -18,6 +18,9 @@ from typing import Optional
 
 import numpy as np
 
+from ..utils.jaxcfg import configure as _jax_configure
+_jax_configure()
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
