@@ -60,52 +60,47 @@ def bench_device(g, reads, repeats=3):
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+    m = ((max(len(r) for r in reads) + 31) // 32) * 32
+
+    # Paired kernel (full 4-orientation GraphAligner protocol, reads
+    # uploaded once, variants derived on device) on TPU; scan fallback
+    # elsewhere
+    if jax.devices()[0].platform != "cpu":
+        from paragraph_tpu.ops.multi_sw import PairedGraphSW
+
+        sw = PairedGraphSW([g])
+        sw.score_pairs([reads])  # warmup / compile
+
+        a = sw.chunk_arrays[0]
+        # per read: 2 fills on the forward stream (fwd + revcomp) and 2
+        # on the reversed stream — same 4-fill protocol the CPU baseline
+        # below runs
+        cells = len(reads) * 2 * (a.col_len[0] + a.col_len[1]) * m
+
+        depth = 5
+        elapsed = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            handles = [sw.score_pairs_device([reads]) for _ in range(depth)]
+            for h in handles:
+                sw.finalize_pairs(h)
+            elapsed = min(elapsed, (time.perf_counter() - t0) / depth)
+        return cells / elapsed, elapsed
+
     from paragraph_tpu.align.graph_aligner import reverse_complement
+    from paragraph_tpu.ops.batched_sw import BatchedGraphSW
 
-    # Pallas kernel on TPU; scan fallback elsewhere
-    try:
-        from paragraph_tpu.ops.pallas_sw import PallasGraphSW
-
-        if jax.devices()[0].platform == "cpu":
-            raise RuntimeError("no TPU")
-        fwd = PallasGraphSW(g)
-    except Exception:
-        from paragraph_tpu.ops.batched_sw import BatchedGraphSW
-
-        fwd = BatchedGraphSW(g)
-    # one kernel compile only: the reversed-graph kernel is shape-identical
-    # but would double the (uncached, ~6 min) remote compile time under
-    # axon; throughput per cell is the same on either orientation
+    fwd = BatchedGraphSW(g)
     revcomp = [reverse_complement(r) for r in reads]
     fwd_batch = reads + revcomp
-
     fwd.score(fwd_batch)  # warmup / compile
-
     L = len(fwd.arrays.ref_codes)
-    m = ((max(len(r) for r in reads) + 31) // 32) * 32
     cells = len(fwd_batch) * L * m
-
-    pipelined = hasattr(fwd, "score_device")
     elapsed = float("inf")
-    if pipelined:
-        # sustained throughput: keep DEPTH dispatches in flight (uploads
-        # overlap compute, as the production feeder does) and fetch at
-        # the end; best-of-N rounds because the shared device tunnel is
-        # noisy (contention)
-        depth = 5
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            handles = [fwd.score_device(fwd_batch) for _ in range(depth)]
-            for h in handles:
-                fwd.finalize(h)
-            elapsed = min(elapsed,
-                          (time.perf_counter() - t0) / depth)
-    else:
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            fwd.score(fwd_batch)
-            elapsed = min(elapsed, time.perf_counter() - t0)
-
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fwd.score(fwd_batch)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     return cells / elapsed, elapsed
 
 

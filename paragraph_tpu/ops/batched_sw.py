@@ -143,17 +143,25 @@ def encode_reads(reads: List[str], pad_to: int = 0
     16-lane stripes; lanes in [len, 16*ceil(len/16)) behave as score-0
     positions and must be modelled for end/uniqueness parity.
     """
-    max_len = max((len(r) for r in reads), default=1)
+    n = len(reads)
+    lens = np.fromiter((len(r) for r in reads), np.int32, count=n)
+    max_len = int(lens.max()) if n else 1
     m = max(pad_to, ((max_len + 15) // 16) * 16)
-    codes = np.full((len(reads), m), 5, dtype=np.int32)  # 5 = pad class
-    lens = np.zeros(len(reads), dtype=np.int32)
-    vlens = np.zeros(len(reads), dtype=np.int32)
-    for i, r in enumerate(reads):
-        b = np.frombuffer(r.upper().encode(), dtype=np.uint8)
-        codes[i, :len(b)] = _NT[b]
-        lens[i] = len(b)
-        vlens[i] = ((len(b) + 15) // 16) * 16
-    return codes, lens, vlens
+    codes = np.full((n, m), 5, dtype=np.int32)  # 5 = pad class
+    if n:
+        # one pass over the concatenated bytes instead of a Python loop
+        # per read (the encode is on the per-dispatch critical path)
+        data = np.frombuffer("".join(reads).upper().encode(), np.uint8)
+        if (lens == lens[0]).all():  # uniform-length fast path
+            codes[:, :lens[0]] = _NT[data].reshape(n, lens[0])
+        else:
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            starts = np.concatenate(
+                ([0], np.cumsum(lens[:-1], dtype=np.int64)))
+            offs = np.arange(len(data), dtype=np.int64) - starts[rows]
+            codes[rows, offs] = _NT[data]
+    vlens = ((lens + 15) // 16) * 16
+    return codes, lens, vlens.astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "gap_open", "gap_extend",

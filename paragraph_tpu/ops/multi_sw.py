@@ -269,6 +269,255 @@ def multi_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
     return jnp.concatenate(outs, axis=0)
 
 
+@partial(jax.jit,
+         static_argnames=("L", "L_ev", "N", "P", "M", "TB", "gap_open",
+                          "gap_extend", "match", "mismatch", "interpret"))
+def paired_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
+                       pred_tables, tile_col_start, tile_col_len,
+                       tile_event, base_codes_t, base_lens, base_vlens,
+                       col_idx, flip, comp,
+                       L: int, L_ev: int, N: int, P: int, M: int, TB: int,
+                       gap_open: int = 6, gap_extend: int = 1,
+                       match: int = 1, mismatch: int = 4,
+                       interpret: bool = False):
+    """Multi-event fill with on-device orientation expansion.
+
+    GraphAligner's 4-orientation protocol (fwd + revcomp vs the forward
+    graph, their reversals vs the reversed graph) re-scores each read four
+    times, but every variant is a deterministic transform of the forward
+    read: revcomp = complement(per-read flip), reversal = per-read flip,
+    revcomp-reversal = complement. Uploading only the forward codes and
+    deriving the variants with one gather + two selects on device cuts the
+    host→device transfer and the host encode 4× — both sit on the
+    dispatch critical path, while the derivation is negligible next to the
+    column loop. The derived arrays are bit-identical to host-encoded
+    variants (same row layout, stripe-pad rows included), so kernel
+    semantics and gssw parity are untouched.
+
+    base_codes_t: [M, Bb] int8 forward-read codes; col_idx [B] maps each
+    output batch column to its base column; flip/comp [1, B] select the
+    per-read row reversal / base complement.
+    """
+    c = base_codes_t.astype(jnp.int32)
+    cols = jnp.take(c, col_idx, axis=1)  # [M, B]
+    lens = jnp.take(base_lens, col_idx, axis=1)  # [1, B]
+    vlens = jnp.take(base_vlens, col_idx, axis=1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    flip_idx = jnp.where(jj < lens, lens - 1 - jj, jj)  # [M, B]
+    flipped = jnp.take_along_axis(cols, flip_idx, axis=0)
+    x = jnp.where(flip != 0, flipped, cols)
+    x = jnp.where((comp != 0) & (x < 4), 3 - x, x)
+
+    B = x.shape[1]
+    assert B % TB == 0
+    kernel = _make_kernel(L, L_ev, N, P, M, TB, gap_open, gap_extend,
+                          match, mismatch)
+    state_dt = jnp.int32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((M, TB), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, M, TB), state_dt),
+            pltpu.VMEM((M, TB), state_dt),
+            pltpu.VMEM((M, TB), state_dt),
+            pltpu.VMEM((N + 1, M, TB), state_dt),
+            pltpu.VMEM((N + 1, M, TB), state_dt),
+            pltpu.VMEM((M, TB), state_dt),  # per-node running max
+            pltpu.VMEM((N, 1, TB), jnp.int32),  # node max (real lanes)
+            pltpu.VMEM((M, TB), jnp.int32),  # running packed best
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct((1, B), jnp.int32) for _ in range(4)]
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(ref_codes, col_node, col_in_node, is_start, is_last, pred_tables,
+      tile_col_start, tile_col_len, tile_event, x, lens, vlens)
+    return jnp.concatenate(outs, axis=0)
+
+
+class PairedGraphSW:
+    """Device scorer for the full 4-orientation protocol over an event
+    batch: one pair = (graph, its reads); the reversed graph and all read
+    orientation variants are derived internally (the variants on device —
+    see paired_pallas_fill). Graph column streams and predecessor tables
+    are uploaded once at construction and reused by every dispatch.
+
+    score_pairs() returns, per pair, the same two 5-tuples the legacy
+    two-batch path produced: f_out for [fwd + revcomp] reads vs the
+    forward graph and r_out for their reversals vs the reversed graph.
+    """
+
+    COL_BUDGET = 12288
+
+    def __init__(self, graphs: Sequence[SequenceGraph],
+                 tile_batch: int = DEFAULT_TB, interpret: bool = False,
+                 col_budget: int = COL_BUDGET):
+        built = {}
+
+        def build(g):
+            key = id(g)
+            if key not in built:
+                built[key] = (GraphArrays.build(g),
+                              GraphArrays.build(g.reversed()))
+            return built[key]
+
+        pair_gas = [build(g) for g in graphs]
+        n_max = max(max(f.num_nodes, r.num_nodes) for f, r in pair_gas)
+        p_max = max(max(f.pred_table.shape[1], r.pred_table.shape[1])
+                    for f, r in pair_gas)
+        self.tile_batch = tile_batch
+        self.interpret = interpret
+        self.chunk_pairs: List[List[int]] = []
+        self.chunk_arrays: List[MultiGraphArrays] = []
+        cur: List[int] = []
+        cur_cols = 0
+        for i, (fa, ra) in enumerate(pair_gas):
+            cols = len(fa.ref_codes) + len(ra.ref_codes)
+            if cur and cur_cols + cols > col_budget:
+                self.chunk_pairs.append(cur)
+                cur, cur_cols = [], 0
+            cur.append(i)
+            cur_cols += cols
+        if cur:
+            self.chunk_pairs.append(cur)
+        self._chunk_dev = []
+        for idxs in self.chunk_pairs:
+            prebuilt = []
+            for i in idxs:
+                prebuilt.extend(pair_gas[i])
+            a = MultiGraphArrays(None, prebuilt=prebuilt,
+                                 n_max=n_max, p_max=p_max)
+            self.chunk_arrays.append(a)
+            # resident device copies (re-uploading per dispatch costs a
+            # tunnel round trip per array)
+            self._chunk_dev.append(tuple(jnp.asarray(x) for x in (
+                a.ref_codes, a.col_node, a.col_in_node, a.is_start,
+                a.is_last, a.pred_tables)))
+
+    def _dispatch(self, chunk_i: int, reads_per_pair, pad_to: int):
+        a = self.chunk_arrays[chunk_i]
+        tb = self.tile_batch
+        base_reads: List[str] = []
+        col_idx: List[int] = []
+        flip: List[int] = []
+        comp: List[int] = []
+        tile_event: List[int] = []
+        tile_col_start: List[int] = []
+        tile_col_len: List[int] = []
+        pair_layout = []  # (block_offsets[4], n) per pair
+        max_len = 1
+        for j, reads in enumerate(reads_per_pair):
+            n = len(reads)
+            n_pad = _bucket(max(1, n), tb)
+            base_off = len(base_reads)
+            base_reads.extend(reads)
+            base_reads.extend(["A"] * (n_pad - n))
+            if n:
+                max_len = max(max_len, max(len(r) for r in reads))
+            offsets = []
+            # block order: fwd, revcomp (fwd graph) | rev, comp (rev graph)
+            for ev_local, fl, cp in ((2 * j, 0, 0), (2 * j, 1, 1),
+                                     (2 * j + 1, 1, 0), (2 * j + 1, 0, 1)):
+                offsets.append(len(col_idx))
+                col_idx.extend(range(base_off, base_off + n_pad))
+                flip.extend([fl] * n_pad)
+                comp.extend([cp] * n_pad)
+                for _ in range(n_pad // tb):
+                    tile_event.append(ev_local)
+                    tile_col_start.append(a.col_start[ev_local])
+                    tile_col_len.append(a.col_len[ev_local])
+            pair_layout.append((offsets, n))
+        # bucket tiles to powers of two (pad tiles re-score pair 0 fwd)
+        n_tiles = len(tile_event)
+        t_bucket = 1
+        while t_bucket < n_tiles:
+            t_bucket *= 2
+        for _ in range(t_bucket - n_tiles):
+            tile_event.append(0)
+            tile_col_start.append(a.col_start[0])
+            tile_col_len.append(a.col_len[0])
+            col_idx.extend(range(tb))
+            flip.extend([0] * tb)
+            comp.extend([0] * tb)
+
+        pad_to = max(pad_to, _bucket(max_len, 32))
+        codes, lens, vlens = encode_reads(base_reads, pad_to)
+        l_ev = _bucket(max(a.col_len), 256)
+        assert pack_bits(l_ev, codes.shape[1], 1) is not None
+        dev = self._chunk_dev[chunk_i]
+        out = paired_pallas_fill(
+            *dev,
+            jnp.asarray(np.asarray(tile_col_start, np.int32)),
+            jnp.asarray(np.asarray(tile_col_len, np.int32)),
+            jnp.asarray(np.asarray(tile_event, np.int32)),
+            jnp.asarray(codes.T.astype(np.int8)),
+            jnp.asarray(lens[None, :]), jnp.asarray(vlens[None, :]),
+            jnp.asarray(np.asarray(col_idx, np.int32)),
+            jnp.asarray(np.asarray(flip, np.int8)[None, :]),
+            jnp.asarray(np.asarray(comp, np.int8)[None, :]),
+            L=len(a.ref_codes), L_ev=l_ev, N=a.n_max, P=a.p_max,
+            M=codes.shape[1], TB=tb, interpret=self.interpret)
+        return out, pair_layout
+
+    def score_pairs_device(self, reads_per_pair: Sequence[List[str]],
+                           pad_to: int = 0):
+        """Dispatch all chunks without fetching; callers can keep several
+        batches in flight and finalize_pairs() them later."""
+        pending = []
+        for chunk_i, idxs in enumerate(self.chunk_pairs):
+            out, layout = self._dispatch(
+                chunk_i, [reads_per_pair[p] for p in idxs], pad_to)
+            pending.append((chunk_i, idxs, out, layout))
+        return pending, len(reads_per_pair)
+
+    def score_pairs(self, reads_per_pair: Sequence[List[str]],
+                    pad_to: int = 0):
+        """Returns per pair (f_out, r_out); each is a (score, end_node,
+        end_ref, end_read, multi) tuple of np arrays over 2n reads in the
+        legacy [fwd + revcomp] / [their reversals] batch order."""
+        return self.finalize_pairs(
+            self.score_pairs_device(reads_per_pair, pad_to))
+
+    def finalize_pairs(self, handle):
+        pending, n_pairs = handle
+        results = [None] * n_pairs
+        for chunk_i, idxs, out, layout in pending:
+            a = self.chunk_arrays[chunk_i]
+            vals = np.asarray(out)  # single [4, B] fetch per chunk
+            score, end_col, end_read, multi = vals
+            valid = end_col >= 0
+            safe_col = np.where(valid, end_col, 0)
+            end_node = np.where(
+                valid, a.col_node[safe_col], 0).astype(np.int32)
+            end_ref = np.where(
+                valid, a.col_in_node[safe_col], -1).astype(np.int32)
+            full = (score, end_node, end_ref, end_read, multi)
+            for (offsets, n), p in zip(layout, idxs):
+                o_f, o_rc, o_rev, o_cp = offsets
+                f_out = tuple(
+                    np.concatenate([x[o_f:o_f + n], x[o_rc:o_rc + n]])
+                    for x in full)
+                r_out = tuple(
+                    np.concatenate([x[o_rev:o_rev + n], x[o_cp:o_cp + n]])
+                    for x in full)
+                results[p] = (f_out, r_out)
+        return results
+
+
 class MultiGraphSW:
     """Score (graph, reads) pairs for a whole event batch in a few
     pipelined launches.

@@ -187,9 +187,8 @@ def align_samples_batched(parameters: GrmpyParameters,
     This is the TPU-native replacement for grmpy's thread pool over
     (sample × graph) (Workflow.cpp:224-231).
     """
-    from ..align.batched_aligner import make_orientation_batches
     from ..graph.model import SequenceGraph
-    from ..ops.multi_sw import MultiGraphSW
+    from ..ops.multi_sw import PairedGraphSW
     from ..reads.read import UNMAPPED
 
     jobs = []  # (graph_desc, pp, graph, sample, reads)
@@ -216,7 +215,9 @@ def align_samples_batched(parameters: GrmpyParameters,
                 pp_proto.longest_alt_insertion)
             jobs.append((graph_desc, pp_proto, graph, s, reads))
 
-    # one multi-event scoring pass over all (pair × orientation) batches
+    # one multi-event scoring pass over all (graph × sample) pairs: each
+    # pair's reads upload once; the 4 orientation variants derive on
+    # device (ops/multi_sw.py paired_pallas_fill)
     scoring_jobs = [j for j in jobs if j[4] is not None]
     precomputed = {}
     if scoring_jobs:
@@ -226,15 +227,13 @@ def align_samples_batched(parameters: GrmpyParameters,
             live = [r for r in reads if r.bases]
             for r in live:
                 r.graph_mapping_status = UNMAPPED
-            _, _, fwd_batch, rev_batch = make_orientation_batches(live)
-            graphs.extend([graph, graph.reversed()])
-            batches.extend([fwd_batch, rev_batch])
+            graphs.append(graph)
+            batches.append([r.bases.upper() for r in live])
         try:
-            multi = MultiGraphSW(graphs)
-            results = multi.score(batches)
+            paired = PairedGraphSW(graphs)
+            results = paired.score_pairs(batches)
             for k, (gd, pp, graph, s, reads) in enumerate(scoring_jobs):
-                f_out = results[2 * k]
-                r_out = results[2 * k + 1]
+                f_out, r_out = results[k]
                 precomputed[k] = (f_out[0], f_out[4], r_out[4])
         except Exception as exc:
             # device path unavailable: score per event — loudly, so a

@@ -80,7 +80,7 @@ def test_grmpy_batch_fallback_logs_and_matches(monkeypatch, caplog):
                 def __init__(self, graphs, **kw):
                     raise RuntimeError("synthetic device failure")
 
-            monkeypatch.setattr(multi_sw, "MultiGraphSW", Boom)
+            monkeypatch.setattr(multi_sw, "PairedGraphSW", Boom)
         # two copies of the graph so the batched path engages
         return run_grmpy([graph, dict(graph)], reference, manifest,
                          gt_params, GrmpyParameters(), batch_events=True)
