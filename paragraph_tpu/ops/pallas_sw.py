@@ -33,6 +33,13 @@ multi-node-top-score flag (alignsEndAtMultNodes), including striped
 padding-lane echo semantics. The kernel returns the winning *global
 column index*; the host wrapper maps it to (node id, offset) with two
 numpy gathers.
+
+Why int32 state (and not int16, despite scores fitting comfortably):
+the diagonal shift and F prefix scan are sublane rolls, and Mosaic
+only implements vector rotates for 32-bit element types ("Rotate with
+non-32-bit data" NotImplementedError, measured on v5e / jax 0.9) — an
+int16 variant of this kernel is exact in interpret mode but does not
+compile for TPU.
 """
 from __future__ import annotations
 
