@@ -43,6 +43,17 @@ def _bucket(x: int, m: int) -> int:
     return -(x // -m) * m
 
 
+def _auto_interpret(interpret: bool) -> bool:
+    """Pallas on the CPU backend only runs in interpret mode; auto-detect
+    so the CPU test mesh exercises the same code path instead of tripping
+    the device-failure fallback."""
+    if interpret:
+        return True
+    import jax
+
+    return jax.devices()[0].platform == "cpu"
+
+
 class MultiGraphArrays:
     """Concatenated device arrays for a batch of graphs."""
 
@@ -349,6 +360,101 @@ def paired_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
     return jnp.concatenate(outs, axis=0)
 
 
+def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
+                      pad_to: int = 0, tiles_to: int = 0, bases_to: int = 0):
+    """Host-side table construction for one paired dispatch: read encode,
+    orientation expansion tables (col_idx/flip/comp), and per-tile
+    (event, column-range) assignments. Shared by the single-device
+    PairedGraphSW and the mesh-sharded scorer (parallel/distributed.py),
+    which pads tiles_to/bases_to so every shard has identical shapes.
+    """
+    base_reads: List[str] = []
+    col_idx: List[int] = []
+    flip: List[int] = []
+    comp: List[int] = []
+    tile_event: List[int] = []
+    tile_col_start: List[int] = []
+    tile_col_len: List[int] = []
+    layout = []  # (block_offsets[4], n) per pair
+    max_len = 1
+    for j, reads in enumerate(reads_per_pair):
+        n = len(reads)
+        n_pad = _bucket(max(1, n), tb)
+        base_off = len(base_reads)
+        base_reads.extend(reads)
+        base_reads.extend(["A"] * (n_pad - n))
+        if n:
+            max_len = max(max_len, max(len(r) for r in reads))
+        offsets = []
+        # block order: fwd, revcomp (fwd graph) | rev, comp (rev graph)
+        for ev_local, fl, cp in ((2 * j, 0, 0), (2 * j, 1, 1),
+                                 (2 * j + 1, 1, 0), (2 * j + 1, 0, 1)):
+            offsets.append(len(col_idx))
+            col_idx.extend(range(base_off, base_off + n_pad))
+            flip.extend([fl] * n_pad)
+            comp.extend([cp] * n_pad)
+            for _ in range(n_pad // tb):
+                tile_event.append(ev_local)
+                tile_col_start.append(a.col_start[ev_local])
+                tile_col_len.append(a.col_len[ev_local])
+        layout.append((offsets, n))
+    # bucket tiles to powers of two (pad tiles re-score pair 0 fwd)
+    n_tiles = len(tile_event)
+    t_bucket = max(1, tiles_to)
+    while t_bucket < n_tiles:
+        t_bucket *= 2
+    for _ in range(t_bucket - n_tiles):
+        tile_event.append(0)
+        tile_col_start.append(a.col_start[0])
+        tile_col_len.append(a.col_len[0])
+        col_idx.extend(range(tb))
+        flip.extend([0] * tb)
+        comp.extend([0] * tb)
+    if bases_to:
+        assert bases_to >= len(base_reads)
+        base_reads.extend(["A"] * (bases_to - len(base_reads)))
+
+    pad_to = max(pad_to, _bucket(max_len, 32))
+    codes, lens, vlens = encode_reads(base_reads, pad_to)
+    l_ev = _bucket(max(a.col_len), 256)
+    assert pack_bits(l_ev, codes.shape[1], 1) is not None
+    return {
+        "tile_col_start": np.asarray(tile_col_start, np.int32),
+        "tile_col_len": np.asarray(tile_col_len, np.int32),
+        "tile_event": np.asarray(tile_event, np.int32),
+        "codes_t": codes.T.astype(np.int8),
+        "lens": lens[None, :].astype(np.int32),
+        "vlens": vlens[None, :].astype(np.int32),
+        "col_idx": np.asarray(col_idx, np.int32),
+        "flip": np.asarray(flip, np.int8)[None, :],
+        "comp": np.asarray(comp, np.int8)[None, :],
+        "l_ev": l_ev,
+        "m": codes.shape[1],
+        "layout": layout,
+    }
+
+
+def slice_pair_outputs(a: MultiGraphArrays, vals: np.ndarray, layout,
+                       idxs, results) -> None:
+    """Map one fetched [4, B] output block back to per-pair (f_out, r_out)
+    5-tuples, resolving global columns to (node, in-node offset)."""
+    score, end_col, end_read, multi = vals
+    valid = end_col >= 0
+    safe_col = np.where(valid, end_col, 0)
+    end_node = np.where(valid, a.col_node[safe_col], 0).astype(np.int32)
+    end_ref = np.where(valid, a.col_in_node[safe_col], -1).astype(np.int32)
+    full = (score, end_node, end_ref, end_read, multi)
+    for (offsets, n), p in zip(layout, idxs):
+        o_f, o_rc, o_rev, o_cp = offsets
+        f_out = tuple(
+            np.concatenate([x[o_f:o_f + n], x[o_rc:o_rc + n]])
+            for x in full)
+        r_out = tuple(
+            np.concatenate([x[o_rev:o_rev + n], x[o_cp:o_cp + n]])
+            for x in full)
+        results[p] = (f_out, r_out)
+
+
 class PairedGraphSW:
     """Device scorer for the full 4-orientation protocol over an event
     batch: one pair = (graph, its reads); the reversed graph and all read
@@ -380,7 +486,7 @@ class PairedGraphSW:
         p_max = max(max(f.pred_table.shape[1], r.pred_table.shape[1])
                     for f, r in pair_gas)
         self.tile_batch = tile_batch
-        self.interpret = interpret
+        self.interpret = _auto_interpret(interpret)
         self.chunk_pairs: List[List[int]] = []
         self.chunk_arrays: List[MultiGraphArrays] = []
         cur: List[int] = []
@@ -410,68 +516,18 @@ class PairedGraphSW:
 
     def _dispatch(self, chunk_i: int, reads_per_pair, pad_to: int):
         a = self.chunk_arrays[chunk_i]
-        tb = self.tile_batch
-        base_reads: List[str] = []
-        col_idx: List[int] = []
-        flip: List[int] = []
-        comp: List[int] = []
-        tile_event: List[int] = []
-        tile_col_start: List[int] = []
-        tile_col_len: List[int] = []
-        pair_layout = []  # (block_offsets[4], n) per pair
-        max_len = 1
-        for j, reads in enumerate(reads_per_pair):
-            n = len(reads)
-            n_pad = _bucket(max(1, n), tb)
-            base_off = len(base_reads)
-            base_reads.extend(reads)
-            base_reads.extend(["A"] * (n_pad - n))
-            if n:
-                max_len = max(max_len, max(len(r) for r in reads))
-            offsets = []
-            # block order: fwd, revcomp (fwd graph) | rev, comp (rev graph)
-            for ev_local, fl, cp in ((2 * j, 0, 0), (2 * j, 1, 1),
-                                     (2 * j + 1, 1, 0), (2 * j + 1, 0, 1)):
-                offsets.append(len(col_idx))
-                col_idx.extend(range(base_off, base_off + n_pad))
-                flip.extend([fl] * n_pad)
-                comp.extend([cp] * n_pad)
-                for _ in range(n_pad // tb):
-                    tile_event.append(ev_local)
-                    tile_col_start.append(a.col_start[ev_local])
-                    tile_col_len.append(a.col_len[ev_local])
-            pair_layout.append((offsets, n))
-        # bucket tiles to powers of two (pad tiles re-score pair 0 fwd)
-        n_tiles = len(tile_event)
-        t_bucket = 1
-        while t_bucket < n_tiles:
-            t_bucket *= 2
-        for _ in range(t_bucket - n_tiles):
-            tile_event.append(0)
-            tile_col_start.append(a.col_start[0])
-            tile_col_len.append(a.col_len[0])
-            col_idx.extend(range(tb))
-            flip.extend([0] * tb)
-            comp.extend([0] * tb)
-
-        pad_to = max(pad_to, _bucket(max_len, 32))
-        codes, lens, vlens = encode_reads(base_reads, pad_to)
-        l_ev = _bucket(max(a.col_len), 256)
-        assert pack_bits(l_ev, codes.shape[1], 1) is not None
+        t = build_pair_tables(a, reads_per_pair, self.tile_batch, pad_to)
         dev = self._chunk_dev[chunk_i]
         out = paired_pallas_fill(
             *dev,
-            jnp.asarray(np.asarray(tile_col_start, np.int32)),
-            jnp.asarray(np.asarray(tile_col_len, np.int32)),
-            jnp.asarray(np.asarray(tile_event, np.int32)),
-            jnp.asarray(codes.T.astype(np.int8)),
-            jnp.asarray(lens[None, :]), jnp.asarray(vlens[None, :]),
-            jnp.asarray(np.asarray(col_idx, np.int32)),
-            jnp.asarray(np.asarray(flip, np.int8)[None, :]),
-            jnp.asarray(np.asarray(comp, np.int8)[None, :]),
-            L=len(a.ref_codes), L_ev=l_ev, N=a.n_max, P=a.p_max,
-            M=codes.shape[1], TB=tb, interpret=self.interpret)
-        return out, pair_layout
+            jnp.asarray(t["tile_col_start"]), jnp.asarray(t["tile_col_len"]),
+            jnp.asarray(t["tile_event"]), jnp.asarray(t["codes_t"]),
+            jnp.asarray(t["lens"]), jnp.asarray(t["vlens"]),
+            jnp.asarray(t["col_idx"]), jnp.asarray(t["flip"]),
+            jnp.asarray(t["comp"]),
+            L=len(a.ref_codes), L_ev=t["l_ev"], N=a.n_max, P=a.p_max,
+            M=t["m"], TB=self.tile_batch, interpret=self.interpret)
+        return out, t["layout"]
 
     def score_pairs_device(self, reads_per_pair: Sequence[List[str]],
                            pad_to: int = 0):
@@ -498,23 +554,7 @@ class PairedGraphSW:
         for chunk_i, idxs, out, layout in pending:
             a = self.chunk_arrays[chunk_i]
             vals = np.asarray(out)  # single [4, B] fetch per chunk
-            score, end_col, end_read, multi = vals
-            valid = end_col >= 0
-            safe_col = np.where(valid, end_col, 0)
-            end_node = np.where(
-                valid, a.col_node[safe_col], 0).astype(np.int32)
-            end_ref = np.where(
-                valid, a.col_in_node[safe_col], -1).astype(np.int32)
-            full = (score, end_node, end_ref, end_read, multi)
-            for (offsets, n), p in zip(layout, idxs):
-                o_f, o_rc, o_rev, o_cp = offsets
-                f_out = tuple(
-                    np.concatenate([x[o_f:o_f + n], x[o_rc:o_rc + n]])
-                    for x in full)
-                r_out = tuple(
-                    np.concatenate([x[o_rev:o_rev + n], x[o_cp:o_cp + n]])
-                    for x in full)
-                results[p] = (f_out, r_out)
+            slice_pair_outputs(a, vals, layout, idxs, results)
         return results
 
 
@@ -538,7 +578,7 @@ class MultiGraphSW:
         n_max = max(a.num_nodes for a in gas)
         p_max = max(a.pred_table.shape[1] for a in gas)
         self.tile_batch = tile_batch
-        self.interpret = interpret
+        self.interpret = _auto_interpret(interpret)
         self.chunk_events: List[List[int]] = []
         self.chunk_arrays: List[MultiGraphArrays] = []
         cur: List[int] = []

@@ -286,7 +286,9 @@ class PallasGraphSW:
         self.gap_open = gap_open
         self.gap_extend = gap_extend
         self.tile_batch = tile_batch
-        self.interpret = interpret
+        from .multi_sw import _auto_interpret
+
+        self.interpret = _auto_interpret(interpret)
 
     def score_device(self, reads: List[str], pad_to: int = 0):
         """Dispatch the fill and return device arrays without forcing a

@@ -230,7 +230,16 @@ def align_samples_batched(parameters: GrmpyParameters,
             graphs.append(graph)
             batches.append([r.bases.upper() for r in live])
         try:
-            paired = PairedGraphSW(graphs)
+            import jax
+
+            if jax.device_count() > 1 and len(graphs) > 1:
+                # events sharded over the device mesh (SPMD shard_map;
+                # the TPU-native grmpy/Workflow.cpp:224-231 thread pool)
+                from ..parallel.distributed import ShardedPairedSW
+
+                paired = ShardedPairedSW(graphs)
+            else:
+                paired = PairedGraphSW(graphs)
             results = paired.score_pairs(batches)
             for k, (gd, pp, graph, s, reads) in enumerate(scoring_jobs):
                 f_out, r_out = results[k]
