@@ -244,9 +244,12 @@ def align_samples_batched(parameters: GrmpyParameters,
             for k, (gd, pp, graph, s, reads) in enumerate(scoring_jobs):
                 f_out, r_out = results[k]
                 precomputed[k] = (f_out[0], f_out[4], r_out[4])
-        except Exception as exc:
-            # device path unavailable: score per event — loudly, so a
-            # mis-compiled kernel shows up as a warning, not slowness
+        except (RuntimeError, NotImplementedError, OSError) as exc:
+            # device path unavailable (XlaRuntimeError / Mosaic lowering
+            # NotImplementedError / tunnel OSError): score per event —
+            # loudly, so a mis-compiled kernel shows up as a warning, not
+            # slowness. Programming errors (TypeError, KeyError, ...)
+            # propagate instead of silently downgrading the engine.
             logger.warning(
                 "cross-event device scoring failed (%s: %s); falling back "
                 "to per-event scoring for %d (graph x sample) pairs",

@@ -72,6 +72,7 @@ def test_grmpy_batch_fallback_logs_and_matches(monkeypatch, caplog):
 
     def run(break_device):
         import paragraph_tpu.ops.multi_sw as multi_sw
+        import paragraph_tpu.parallel.distributed as distributed
 
         manifest = load_manifest(
             os.path.join(LD, "chrX_graph_typing.manifest"))
@@ -80,7 +81,11 @@ def test_grmpy_batch_fallback_logs_and_matches(monkeypatch, caplog):
                 def __init__(self, graphs, **kw):
                     raise RuntimeError("synthetic device failure")
 
+            # break BOTH engines: on a multi-device mesh the batch path
+            # routes through ShardedPairedSW, single-device through
+            # PairedGraphSW — the fallback must fire either way
             monkeypatch.setattr(multi_sw, "PairedGraphSW", Boom)
+            monkeypatch.setattr(distributed, "ShardedPairedSW", Boom)
         # two copies of the graph so the batched path engages
         return run_grmpy([graph, dict(graph)], reference, manifest,
                          gt_params, GrmpyParameters(), batch_events=True)
