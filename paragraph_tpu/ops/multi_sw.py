@@ -38,9 +38,29 @@ from .pallas_sw import _shift_down, pack_bits
 _BIG = np.int32(2 ** 30)
 DEFAULT_TB = 128
 
+# Shape-stability budgets: every production dispatch is padded to these,
+# so one compiled kernel serves the whole run (and, with the persistent
+# compile cache, every future run). Padding is cheap: pad tiles carry
+# clen=0 (their column loop never executes), pad events get all-zero-state
+# predecessor tables, and pad columns/bases are plain memory. Through the
+# axon tunnel a fresh Mosaic compile costs ~100s, so per-chunk shape drift
+# (the round-2 behaviour) multiplied that into minutes of apparent
+# "device time" on multi-event runs.
+TILE_BUDGET = 256          # grid size per launch (bench-validated)
+PAIR_BUDGET = 16           # pairs per chunk -> pred_tables E = 32 fixed
+L_EV_FLOOR = 2048          # packed end-tracking column-bit budget
+M_FLOOR = 160              # read-length stripe floor (150bp + bucket)
+
 
 def _bucket(x: int, m: int) -> int:
     return -(x // -m) * m
+
+
+def _pow2_at_least(x: int, floor: int) -> int:
+    v = max(1, floor)
+    while v < x:
+        v *= 2
+    return v
 
 
 def _auto_interpret(interpret: bool) -> bool:
@@ -59,7 +79,8 @@ class MultiGraphArrays:
 
     def __init__(self, graphs: Sequence[SequenceGraph],
                  prebuilt: Sequence[GraphArrays] = None,
-                 n_max: int = 0, p_max: int = 0):
+                 n_max: int = 0, p_max: int = 0,
+                 l_to: int = 0, e_to: int = 0):
         arrays = list(prebuilt) if prebuilt is not None else \
             [GraphArrays.build(g) for g in graphs]
         self.per_event = arrays
@@ -87,13 +108,18 @@ class MultiGraphArrays:
             pred_tables.append(pt)
         self.col_len = [len(a.ref_codes) for a in arrays]
         # pad column stream to a bucketed length for compile reuse
-        l_bucket = _bucket(max(1, len(ref_codes)), 1024)
+        l_bucket = max(_bucket(max(1, len(ref_codes)), 1024), l_to)
         pad = l_bucket - len(ref_codes)
         ref_codes.extend([4] * pad)
         col_node.extend([0] * pad)
         col_in_node.extend([0] * pad)
         is_start.extend([0] * pad)
         is_last.extend([0] * pad)
+        # pad the event axis with all-zero-state predecessor tables so
+        # pred_tables keeps one shape regardless of chunk occupancy
+        for _ in range(len(arrays), e_to):
+            pred_tables.append(
+                np.full((self.n_max, self.p_max), self.n_max, np.int32))
         self.ref_codes = np.asarray(ref_codes, np.int32)
         self.col_node = np.asarray(col_node, np.int32)
         self.col_in_node = np.asarray(col_in_node, np.int32)
@@ -361,12 +387,17 @@ def paired_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
 
 
 def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
-                      pad_to: int = 0, tiles_to: int = 0, bases_to: int = 0):
+                      pad_to: int = 0, tiles_to: int = 0, bases_to: int = 0,
+                      l_ev_floor: int = 0):
     """Host-side table construction for one paired dispatch: read encode,
     orientation expansion tables (col_idx/flip/comp), and per-tile
     (event, column-range) assignments. Shared by the single-device
     PairedGraphSW and the mesh-sharded scorer (parallel/distributed.py),
     which pads tiles_to/bases_to so every shard has identical shapes.
+
+    Pairs with no reads contribute zero tiles/bases, and pad tiles carry
+    clen=0 so their column loop never executes — tile padding costs only
+    the per-tile scratch init, not a graph re-scan.
     """
     base_reads: List[str] = []
     col_idx: List[int] = []
@@ -379,12 +410,14 @@ def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
     max_len = 1
     for j, reads in enumerate(reads_per_pair):
         n = len(reads)
-        n_pad = _bucket(max(1, n), tb)
+        if n == 0:
+            layout.append(([0, 0, 0, 0], 0))
+            continue
+        n_pad = _bucket(n, tb)
         base_off = len(base_reads)
         base_reads.extend(reads)
         base_reads.extend(["A"] * (n_pad - n))
-        if n:
-            max_len = max(max_len, max(len(r) for r in reads))
+        max_len = max(max_len, max(len(r) for r in reads))
         offsets = []
         # block order: fwd, revcomp (fwd graph) | rev, comp (rev graph)
         for ev_local, fl, cp in ((2 * j, 0, 0), (2 * j, 1, 1),
@@ -398,25 +431,27 @@ def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
                 tile_col_start.append(a.col_start[ev_local])
                 tile_col_len.append(a.col_len[ev_local])
         layout.append((offsets, n))
-    # bucket tiles to powers of two (pad tiles re-score pair 0 fwd)
+    # bucket tiles (pad tiles are free: clen=0 skips the column loop)
     n_tiles = len(tile_event)
     t_bucket = max(1, tiles_to)
     while t_bucket < n_tiles:
         t_bucket *= 2
     for _ in range(t_bucket - n_tiles):
         tile_event.append(0)
-        tile_col_start.append(a.col_start[0])
-        tile_col_len.append(a.col_len[0])
-        col_idx.extend(range(tb))
+        tile_col_start.append(0)
+        tile_col_len.append(0)
+        col_idx.extend([0] * tb)
         flip.extend([0] * tb)
         comp.extend([0] * tb)
+    if not base_reads:
+        base_reads.append("A")
     if bases_to:
         assert bases_to >= len(base_reads)
         base_reads.extend(["A"] * (bases_to - len(base_reads)))
 
     pad_to = max(pad_to, _bucket(max_len, 32))
     codes, lens, vlens = encode_reads(base_reads, pad_to)
-    l_ev = _bucket(max(a.col_len), 256)
+    l_ev = max(_bucket(max(a.col_len), 256), l_ev_floor)
     assert pack_bits(l_ev, codes.shape[1], 1) is not None
     return {
         "tile_col_start": np.asarray(tile_col_start, np.int32),
@@ -482,9 +517,13 @@ class PairedGraphSW:
             return built[key]
 
         pair_gas = [build(g) for g in graphs]
-        n_max = max(max(f.num_nodes, r.num_nodes) for f, r in pair_gas)
-        p_max = max(max(f.pred_table.shape[1], r.pred_table.shape[1])
-                    for f, r in pair_gas)
+        # bucket the static kernel parameters so every chunk of every run
+        # with similarly-shaped graphs reuses ONE compiled program
+        self.n_max = _bucket(
+            max(max(f.num_nodes, r.num_nodes) for f, r in pair_gas), 8)
+        self.p_max = _pow2_at_least(
+            max(max(f.pred_table.shape[1], r.pred_table.shape[1])
+                for f, r in pair_gas), 2)
         self.tile_batch = tile_batch
         self.interpret = _auto_interpret(interpret)
         self.chunk_pairs: List[List[int]] = []
@@ -493,20 +532,30 @@ class PairedGraphSW:
         cur_cols = 0
         for i, (fa, ra) in enumerate(pair_gas):
             cols = len(fa.ref_codes) + len(ra.ref_codes)
-            if cur and cur_cols + cols > col_budget:
+            if cur and (cur_cols + cols > col_budget
+                        or len(cur) >= PAIR_BUDGET):
                 self.chunk_pairs.append(cur)
                 cur, cur_cols = [], 0
             cur.append(i)
             cur_cols += cols
         if cur:
             self.chunk_pairs.append(cur)
+        max_chunk_cols = max(
+            sum(len(pair_gas[i][0].ref_codes) + len(pair_gas[i][1].ref_codes)
+                for i in idxs) for idxs in self.chunk_pairs)
+        self.l_uni = _bucket(max(col_budget, max_chunk_cols), 1024)
+        self.e_uni = 2 * PAIR_BUDGET
+        self.l_ev = max(L_EV_FLOOR, _bucket(
+            max(max(len(f.ref_codes), len(r.ref_codes))
+                for f, r in pair_gas), 256))
         self._chunk_dev = []
         for idxs in self.chunk_pairs:
             prebuilt = []
             for i in idxs:
                 prebuilt.extend(pair_gas[i])
             a = MultiGraphArrays(None, prebuilt=prebuilt,
-                                 n_max=n_max, p_max=p_max)
+                                 n_max=self.n_max, p_max=self.p_max,
+                                 l_to=self.l_uni, e_to=self.e_uni)
             self.chunk_arrays.append(a)
             # resident device copies (re-uploading per dispatch costs a
             # tunnel round trip per array)
@@ -515,8 +564,19 @@ class PairedGraphSW:
                 a.is_last, a.pred_tables)))
 
     def _dispatch(self, chunk_i: int, reads_per_pair, pad_to: int):
+        tb = self.tile_batch
         a = self.chunk_arrays[chunk_i]
-        t = build_pair_tables(a, reads_per_pair, self.tile_batch, pad_to)
+        # tile/base budgets: fixed floor, pow2 growth for oversize read
+        # sets — at most a handful of distinct compiled shapes ever.
+        # Interpret mode has no compile cost, so no floor there.
+        tiles_raw = sum(4 * (_bucket(len(r), tb) // tb)
+                        for r in reads_per_pair if r)
+        t_floor = 1 if self.interpret else TILE_BUDGET
+        tiles_to = _pow2_at_least(tiles_raw, t_floor)
+        bases_to = tiles_to * tb // 4
+        t = build_pair_tables(a, reads_per_pair, tb, pad_to,
+                              tiles_to=tiles_to, bases_to=bases_to,
+                              l_ev_floor=self.l_ev)
         dev = self._chunk_dev[chunk_i]
         out = paired_pallas_fill(
             *dev,
@@ -526,13 +586,17 @@ class PairedGraphSW:
             jnp.asarray(t["col_idx"]), jnp.asarray(t["flip"]),
             jnp.asarray(t["comp"]),
             L=len(a.ref_codes), L_ev=t["l_ev"], N=a.n_max, P=a.p_max,
-            M=t["m"], TB=self.tile_batch, interpret=self.interpret)
+            M=t["m"], TB=tb, interpret=self.interpret)
         return out, t["layout"]
 
     def score_pairs_device(self, reads_per_pair: Sequence[List[str]],
                            pad_to: int = 0):
         """Dispatch all chunks without fetching; callers can keep several
         batches in flight and finalize_pairs() them later."""
+        max_len = max((len(r) for reads in reads_per_pair for r in reads),
+                      default=1)
+        m_floor = 32 if self.interpret else M_FLOOR
+        pad_to = max(pad_to, m_floor, _bucket(max_len, 32))
         pending = []
         for chunk_i, idxs in enumerate(self.chunk_pairs):
             out, layout = self._dispatch(

@@ -30,9 +30,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..graph.model import SequenceGraph
 from ..ops.batched_sw import GraphArrays
-from ..ops.multi_sw import (DEFAULT_TB, MultiGraphArrays, PairedGraphSW,
-                            _auto_interpret, _bucket, build_pair_tables,
-                            paired_pallas_fill, slice_pair_outputs)
+from ..ops.multi_sw import (DEFAULT_TB, L_EV_FLOOR, M_FLOOR, PAIR_BUDGET,
+                            TILE_BUDGET, MultiGraphArrays, PairedGraphSW,
+                            _auto_interpret, _bucket, _pow2_at_least,
+                            build_pair_tables, paired_pallas_fill,
+                            slice_pair_outputs)
 
 
 def make_event_mesh(n_devices: Optional[int] = None,
@@ -73,9 +75,13 @@ class ShardedPairedSW:
             return built[key]
 
         pair_gas = [build(g) for g in graphs]
-        n_max = max(max(f.num_nodes, r.num_nodes) for f, r in pair_gas)
-        p_max = max(max(f.pred_table.shape[1], r.pred_table.shape[1])
-                    for f, r in pair_gas)
+        # same static-shape bucketing as PairedGraphSW: one compiled
+        # program per run, shared across runs via the persistent cache
+        n_max = _bucket(
+            max(max(f.num_nodes, r.num_nodes) for f, r in pair_gas), 8)
+        p_max = _pow2_at_least(
+            max(max(f.pred_table.shape[1], r.pred_table.shape[1])
+                for f, r in pair_gas), 2)
 
         # pack pairs into per-device slots: at least min(S, n_pairs) slots
         # so small event batches still spread over the whole mesh, and no
@@ -90,7 +96,8 @@ class ShardedPairedSW:
         loads = [0] * n_slots
         for i in sorted(range(len(pair_gas)), key=lambda i: -pair_cols[i]):
             k = min(range(len(slots)), key=lambda k: loads[k])
-            if slots[k] and loads[k] + pair_cols[i] > col_budget:
+            if slots[k] and (loads[k] + pair_cols[i] > col_budget
+                             or len(slots[k]) >= PAIR_BUDGET):
                 slots.append([])
                 loads.append(0)
                 k = len(slots) - 1
@@ -98,19 +105,25 @@ class ShardedPairedSW:
             loads[k] += pair_cols[i]
         self.slot_pairs = [s for s in slots if s]
 
+        self.e_uni = 2 * PAIR_BUDGET
+        self.l_uni = _bucket(max(col_budget, max(
+            sum(pair_cols[i] for i in s) for s in self.slot_pairs)), 1024)
         self.slot_arrays: List[MultiGraphArrays] = []
         for idxs in self.slot_pairs:
             prebuilt = []
             for i in idxs:
                 prebuilt.extend(pair_gas[i])
             self.slot_arrays.append(MultiGraphArrays(
-                None, prebuilt=prebuilt, n_max=n_max, p_max=p_max))
+                None, prebuilt=prebuilt, n_max=n_max, p_max=p_max,
+                l_to=self.l_uni, e_to=self.e_uni))
 
         # uniform static shapes across every slot (and thus every round)
         self.L = max(len(a.ref_codes) for a in self.slot_arrays)
         self.E = max(a.pred_tables.shape[0] for a in self.slot_arrays)
         self.n_max = n_max
         self.p_max = p_max
+        self.l_ev = max(L_EV_FLOOR, _bucket(
+            max(max(a.col_len) for a in self.slot_arrays), 256))
 
         self.rounds: List[List[int]] = [
             list(range(r, min(r + S, len(self.slot_pairs))))
@@ -172,35 +185,39 @@ class ShardedPairedSW:
     def score_pairs_device(self, reads_per_pair: Sequence[List[str]],
                            pad_to: int = 0):
         S = self.n_shards
+        tb = self.tile_batch
         sharding = NamedSharding(self.mesh, P(self.axis))
         max_len = max((len(r) for reads in reads_per_pair for r in reads),
                       default=1)
-        pad_to = max(pad_to, _bucket(max_len, 32))
+        m_floor = 32 if self.interpret else M_FLOOR
+        pad_to = max(pad_to, m_floor, _bucket(max_len, 32))
 
         pending = []
         for slot_ids, n_real, dev in self._round_dev:
 
             def slot_reads(k, s):
-                if k >= n_real:  # shape-filler shard
+                if k >= n_real:  # shape-filler shard (zero tiles)
                     return [[] for _ in self.slot_pairs[s]]
                 return [reads_per_pair[p] for p in self.slot_pairs[s]]
 
-            def build_round(tiles_to=0, bases_to=0):
-                return [build_pair_tables(
-                    self.slot_arrays[s], slot_reads(k, s), self.tile_batch,
-                    pad_to, tiles_to=tiles_to, bases_to=bases_to)
-                    for k, s in enumerate(slot_ids)]
+            # fixed tile/base budget (pow2 growth for oversize read sets):
+            # pad tiles carry clen=0, so every shard — filler shards
+            # included — pads to one shape at negligible cost
+            tiles_raw = max(
+                (sum(4 * (_bucket(len(r), tb) // tb)
+                     for r in slot_reads(k, s) if r)
+                 for k, s in enumerate(slot_ids)), default=0)
+            t_floor = 1 if self.interpret else TILE_BUDGET
+            tiles_to = _pow2_at_least(tiles_raw, t_floor)
+            bases_to = tiles_to * tb // 4
 
-            tables = build_round()
-            tiles_to = max(len(t["tile_event"]) for t in tables)
-            bases_to = max(t["codes_t"].shape[1] for t in tables)
-            if any(len(t["tile_event"]) != tiles_to
-                   or t["codes_t"].shape[1] != bases_to for t in tables):
-                tables = build_round(tiles_to, bases_to)
-            l_ev = _bucket(
-                max(max(a.col_len) for a in self.slot_arrays), 256)
-            statics = dict(L=self.L, L_ev=l_ev, N=self.n_max, P=self.p_max,
-                           M=tables[0]["m"], TB=self.tile_batch,
+            tables = [build_pair_tables(
+                self.slot_arrays[s], slot_reads(k, s), tb,
+                pad_to, tiles_to=tiles_to, bases_to=bases_to,
+                l_ev_floor=self.l_ev)
+                for k, s in enumerate(slot_ids)]
+            statics = dict(L=self.L, L_ev=self.l_ev, N=self.n_max,
+                           P=self.p_max, M=tables[0]["m"], TB=tb,
                            interpret=self.interpret)
             if self._fill is None or self._fill[0] != tuple(
                     sorted(statics.items())):

@@ -294,6 +294,27 @@ def run_grmpy(graph_descs: List[dict], reference_path: str,
             and not parameters.kmer_sequence_matching
             and parameters.graph_sequence_matching)
 
+    # large event batches run the 3-stage pipelined orchestrator
+    # (pipeline/parallel_grmpy.py): worker processes extract round k+1
+    # and analyse round k-1 while the device scores round k. threads=1
+    # forces the single-process path (the reference's -t semantics).
+    if (batch_events and len(graph_descs) >= 8 and parameters.threads != 1
+            and not parameters.alignment_output_folder):
+        from concurrent.futures.process import BrokenProcessPool
+
+        from .parallel_grmpy import run_grmpy_pipelined
+
+        try:
+            return run_grmpy_pipelined(graph_descs, reference_path,
+                                       manifest, genotyping_parameters,
+                                       parameters)
+        except BrokenProcessPool as exc:
+            # e.g. a parent whose __main__ cannot be re-imported by
+            # multiprocessing spawn (REPL/stdin) — run single-process
+            logger.warning(
+                "worker pool unavailable (%s); falling back to the "
+                "single-process batch path", exc)
+
     # grmpy --progress (Workflow.cpp:114-120,173-179): periodic
     # "N/M events done" lines, throttled to one every 10s plus a final one.
     progress_state = {"last": time.monotonic()}

@@ -41,7 +41,9 @@ class MultigrmpyOptions:
     alt_splitting: bool = True
     genotyping_parameters: Optional[dict] = None
     max_reads_per_event: int = 0
-    threads: int = 1
+    # 0 = auto (hardware concurrency), mirroring the reference's
+    # multiprocessing.cpu_count() default (multigrmpy.py:142)
+    threads: int = 0
     path_sequence_matching: bool = False
     graph_sequence_matching: bool = True
     klib_sequence_matching: bool = False

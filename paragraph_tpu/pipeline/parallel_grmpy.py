@@ -1,0 +1,311 @@
+"""Pipelined multi-process grmpy: extraction → device scoring → analysis.
+
+The reference parallelises grmpy with two thread pools — one over
+(sample × graph) alignment, one over graphs for genotyping
+(/root/reference/src/c++/lib/grmpy/Workflow.cpp:224-231) — and overlaps
+disk I/O with compute through those pools. The TPU-native restructuring
+separates the three fundamentally different resources and pipelines them
+over fixed-size *rounds* of events:
+
+  worker processes   extract round k+1      (BAM/CRAM I/O + decode)
+  TPU                scores round k         (one async multi-event batch,
+                                             ops/multi_sw.py)
+  worker processes   analyse round k-1      (disambiguation, counting,
+                                             variants, genotyping — pure
+                                             Python, GIL-bound, so
+                                             processes not threads)
+
+Peak RAM is bounded by ~2 rounds of reads regardless of how many events
+the run carries (the round-2 batch path materialised every read of every
+event before the first dispatch). Output is event-ordered and identical
+to the sequential path: workers run the same per-event code on the same
+device scores.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional
+
+logger = logging.getLogger("grmpy")
+
+_WORKER_STATE: Dict[str, object] = {}
+
+
+def _worker_init():
+    """Worker processes never talk to the TPU: scoring happens in the
+    parent. Force the CPU backend before anything imports jax so a
+    worker that falls back to self-scoring uses the scan engine."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # keep the axon sitecustomize from dialing the device tunnel
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    _WORKER_STATE["readers"] = {}
+
+
+def _get_reader(filename: str, index_filename: str, reference_path: str):
+    readers = _WORKER_STATE.setdefault("readers", {})
+    reader = readers.get(filename)
+    if reader is None:
+        from ..io.cram import open_alignment_reader
+
+        reader = open_alignment_reader(filename, index_filename,
+                                       reference_path)
+        readers[filename] = reader
+    return reader
+
+
+def _extract_event(graph_desc: dict, reference_path: str,
+                   bam_specs: List[tuple], max_reads: int):
+    """Extract reads for one event across all samples that need alignment.
+
+    Returns {sample_name: [Read, ...]} (grmpy::alignSingleSample's
+    extraction half, AlignSamples.cpp:115-147).
+    """
+    from ..reads.extraction import extract_reads
+    from .paragraph import Parameters
+
+    pp = Parameters()
+    pp.max_reads = max_reads
+    pp.load(graph_desc, reference_path)
+    out = {}
+    for sample_name, filename, index_filename in bam_specs:
+        reader = _get_reader(filename, index_filename, reference_path)
+        out[sample_name] = extract_reads(
+            reader, pp.target_regions, pp.max_reads,
+            pp.longest_alt_insertion)
+    return out
+
+
+def _analyze_event(graph_desc: dict, reference_path: str,
+                   genotyping_parameters: Optional[dict],
+                   parameters, per_sample: List[tuple]):
+    """Per-event host analysis + genotyping for all samples.
+
+    per_sample: (SampleInfo, reads-or-None, precomputed-scores-or-None);
+    reads=None means the sample carries pre-aligned alignment_data.
+    Returns the event's genotyping result dict (CountAndGenotype.cpp).
+    """
+    from ..graph.model import SequenceGraph
+    from ..reads.read import UNMAPPED
+    from .grmpy import _make_paragraph_parameters, count_and_genotype
+
+    pp = None
+    graph = None
+    samples = []
+    for sample, reads, scores in per_sample:
+        if reads is not None:
+            if pp is None:
+                pp = _make_paragraph_parameters(
+                    parameters, graph_desc, reference_path, False)
+                graph = SequenceGraph.from_json(
+                    pp.description, reference_path)
+            from .paragraph import align_and_disambiguate
+
+            for r in reads:
+                if r.bases:
+                    r.graph_mapping_status = UNMAPPED
+            output = align_and_disambiguate(
+                pp, reads, graph=graph, precomputed_scores=scores)
+            output["bam"] = sample.filename
+            for key in ("alignments", "node_coverage", "path_coverage",
+                        "phasing", "variants"):
+                output.pop(key, None)
+            sample.alignment_data = output
+        samples.append(sample)
+    return count_and_genotype(graph_desc, reference_path,
+                              genotyping_parameters, samples)
+
+
+def run_grmpy_pipelined(graph_descs: List[dict], reference_path: str,
+                        manifest, genotyping_parameters: Optional[dict],
+                        parameters, round_events: int = 32,
+                        workers: int = 0) -> List[dict]:
+    """Event-ordered genotyping results for every graph, produced by the
+    3-stage pipeline described in the module docstring."""
+    import multiprocessing
+    import time
+
+    import jax
+
+    from ..align.batched_aligner import resolve_threads
+
+    workers = workers or resolve_threads(parameters.threads)
+    n_events = len(graph_descs)
+    rounds = [list(range(r, min(r + round_events, n_events)))
+              for r in range(0, n_events, round_events)]
+
+    needs_align = [s for s in manifest if s.alignment_data is None]
+    bam_specs = [(s.sample_name, s.filename, s.index_filename)
+                 for s in needs_align]
+
+    use_sharded = jax.device_count() > 1
+
+    t_start = time.monotonic()
+    progress_state = {"last": t_start}
+
+    def report_progress(done: int) -> None:
+        if not parameters.progress:
+            return
+        now = time.monotonic()
+        if done == n_events or now - progress_state["last"] >= 10.0:
+            progress_state["last"] = now
+            logger.info("[progress] %d/%d events done", done, n_events)
+
+    ctx = multiprocessing.get_context("spawn")
+    extract_futs: Dict[int, object] = {}
+    analysis_futs: List[Optional[object]] = [None] * n_events
+
+    # children inherit os.environ at spawn: force the CPU backend there
+    # BEFORE their interpreter starts (the device-tunnel sitecustomize
+    # runs before initializers do)
+    child_env = {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    saved_env = {k: os.environ.get(k) for k in child_env}
+    os.environ.update(child_env)
+
+    try:
+        return _run_pipeline(
+            ctx, workers, rounds, graph_descs, reference_path, manifest,
+            needs_align, bam_specs, genotyping_parameters, parameters,
+            use_sharded, extract_futs, analysis_futs, report_progress,
+            n_events)
+    finally:
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
+                  manifest, needs_align, bam_specs, genotyping_parameters,
+                  parameters, use_sharded, extract_futs, analysis_futs,
+                  report_progress, n_events):
+    import concurrent.futures
+    import copy
+    import time
+
+    from ..graph.model import SequenceGraph
+    from ..ops.multi_sw import PairedGraphSW
+
+    stage_t: Dict[str, float] = {}
+
+    def _clock(key, t0):
+        now = time.perf_counter()
+        stage_t[key] = stage_t.get(key, 0.0) + now - t0
+        return now
+
+    with concurrent.futures.ProcessPoolExecutor(
+            max_workers=workers, mp_context=ctx,
+            initializer=_worker_init) as ex:
+
+        def submit_extract(r: int) -> None:
+            for gi in rounds[r]:
+                extract_futs[gi] = ex.submit(
+                    _extract_event, graph_descs[gi], reference_path,
+                    bam_specs, parameters.max_reads)
+
+        def finalize_and_analyze(pending) -> None:
+            r, sw, handle, reads_by_event = pending
+            t0 = time.perf_counter()
+            scores = None
+            if handle is not None:
+                try:
+                    scores = sw.finalize_pairs(handle)
+                except (RuntimeError, NotImplementedError, OSError) as exc:
+                    logger.warning(
+                        "device scoring failed for round %d (%s: %s); "
+                        "workers will score with the scan engine",
+                        r, type(exc).__name__, exc)
+            k = 0
+            for gi in rounds[r]:
+                per_sample = []
+                for s in manifest:  # manifest order = output sample order
+                    if s.alignment_data is not None:
+                        per_sample.append((copy.copy(s), None, None))
+                        continue
+                    reads = reads_by_event[gi][s.sample_name]
+                    if scores is not None:
+                        f_out, r_out = scores[k]
+                        sc = (f_out[0], f_out[4], r_out[4])
+                    else:
+                        sc = None
+                    k += 1
+                    per_sample.append((copy.copy(s), reads, sc))
+                analysis_futs[gi] = ex.submit(
+                    _analyze_event, graph_descs[gi], reference_path,
+                    genotyping_parameters, parameters, per_sample)
+            _clock("device_wait+submit", t0)
+
+        pending_score = None
+        submit_extract(0)
+        for r in range(len(rounds)):
+            if r + 1 < len(rounds):
+                submit_extract(r + 1)
+            t0 = time.perf_counter()
+            reads_by_event = {gi: extract_futs.pop(gi).result()
+                              for gi in rounds[r]}
+            t0 = _clock("extract_wait", t0)
+
+            # one scoring pair per (event × sample): graph objects are
+            # shared per event, so GraphArrays build once per graph
+            graphs = []
+            batches = []
+            for gi in rounds[r]:
+                graph = None
+                for s in needs_align:
+                    reads = reads_by_event[gi][s.sample_name]
+                    if graph is None:
+                        graph = SequenceGraph.from_json(
+                            _root_desc(graph_descs[gi]), reference_path)
+                    graphs.append(graph)
+                    batches.append(
+                        [rd.bases.upper() for rd in reads if rd.bases])
+            t0 = _clock("graph_build", t0)
+
+            sw = None
+            handle = None
+            if graphs:
+                try:
+                    if use_sharded:
+                        from ..parallel.distributed import ShardedPairedSW
+
+                        sw = ShardedPairedSW(graphs)
+                    else:
+                        sw = PairedGraphSW(graphs)
+                    handle = sw.score_pairs_device(batches)
+                except (RuntimeError, NotImplementedError, OSError) as exc:
+                    logger.warning(
+                        "device scoring dispatch failed for round %d "
+                        "(%s: %s); workers will score with the scan engine",
+                        r, type(exc).__name__, exc)
+                    sw, handle = None, None
+            t0 = _clock("score_dispatch", t0)
+
+            if pending_score is not None:
+                finalize_and_analyze(pending_score)
+            pending_score = (r, sw, handle, reads_by_event)
+
+            done = sum(1 for f in analysis_futs if f is not None
+                       and f.done())
+            report_progress(done)
+
+        if pending_score is not None:
+            finalize_and_analyze(pending_score)
+
+        t0 = time.perf_counter()
+        results = []
+        for gi in range(n_events):
+            results.append(analysis_futs[gi].result())
+            report_progress(gi + 1)
+        _clock("analysis_wait", t0)
+        logger.info("[pipeline] stage seconds: %s",
+                    {k: round(v, 2) for k, v in sorted(stage_t.items())})
+    return results
+
+
+def _root_desc(graph_desc: dict) -> dict:
+    root = dict(graph_desc)
+    if "graph" in root:
+        root.update(root["graph"])
+        del root["graph"]
+    return root

@@ -163,16 +163,35 @@ def index_bam(path):
 
 
 def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
-             contig="chrS", spacing=6000, seed=1):
+             contig="chrS", spacing=6000, seed=1,
+             kinds=("DEL", "INS", "DUP", "INV", "DELSNP")):
+    """Plant a mixed SV workload (BASELINE.json's "~1k mixed
+    DEL/INS/DUP/INV batch" config): symbolic DUP (tandem) and INV events
+    alongside sequence-explicit DEL/INS, plus nested deletion+SNP events
+    (two records sharing an ID — use split_type="by_id")."""
     rng = random.Random(seed)
     os.makedirs(out_dir, exist_ok=True)
     events = []
     pos = 2000
     for i in range(n_events):
-        kind = rng.choice(["DEL", "INS"])
-        size = rng.randint(60, 400)
+        kind = kinds[i % len(kinds)] if len(kinds) > 1 else kinds[0]
+        if kind == "DUP":
+            # tandem duplications longer than the reads leave every
+            # REF-supporting read non-unique (the dup node and the ref
+            # node carry identical sequence), so short-read genotyping
+            # only works for sub-read-length dups — same limitation as
+            # the reference's uniqueness-filter semantics
+            size = rng.randint(60, read_len - 10)
+        else:
+            size = rng.randint(60, 400)
         gt = rng.choice(["0/1", "1/1", "0/0"])
-        events.append({"kind": kind, "pos": pos, "size": size, "gt": gt})
+        ev = {"kind": kind, "pos": pos, "size": size, "gt": gt}
+        if kind == "DELSNP":
+            # nested: a SNP 60bp upstream of the deletion on the same
+            # haplotype; emitted as a separate record close enough for
+            # the superloci split to merge into one graph
+            ev["snp_pos"] = pos - 60
+        events.append(ev)
         pos += spacing
     ref_len = pos + 2000
     ref = "".join(rng.choices("ACGT", k=ref_len))
@@ -181,6 +200,13 @@ def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
     for ev in events:
         if ev["kind"] == "INS":
             ev["ins_seq"] = "".join(rng.choices("ACGT", k=ev["size"]))
+        if ev["kind"] == "DELSNP":
+            old = ref[ev["snp_pos"]]
+            ev["snp_alt"] = rng.choice(
+                [b for b in "ACGT" if b != old])
+
+    def rc(s):
+        return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
 
     # haplotypes: apply alt allele per event where gt says so; track the
     # hap→ref coordinate map so read placement is analytic
@@ -193,13 +219,27 @@ def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
             has_alt = (ev["gt"] == "1/1" or
                        (ev["gt"] == "0/1" and hap_idx == 1))
             seg_len = ev["pos"] - cur
+            seg = ref[cur:ev["pos"]]
+            if has_alt and ev["kind"] == "DELSNP":
+                off = ev["snp_pos"] - cur
+                seg = seg[:off] + ev["snp_alt"] + seg[off + 1:]
             anchors.append((hap_len, cur, seg_len))
-            parts.append(ref[cur:ev["pos"]])
+            parts.append(seg)
             hap_len += seg_len
             if has_alt:
-                if ev["kind"] == "DEL":
+                if ev["kind"] in ("DEL", "DELSNP"):
                     cur = ev["pos"] + ev["size"]
-                else:
+                elif ev["kind"] == "DUP":
+                    # tandem duplication: extra copy at the start of the
+                    # duplicated segment (matches vcfgraph <DUP> semantics)
+                    parts.append(ref[ev["pos"]:ev["pos"] + ev["size"]])
+                    hap_len += ev["size"]
+                    cur = ev["pos"]
+                elif ev["kind"] == "INV":
+                    parts.append(rc(ref[ev["pos"]:ev["pos"] + ev["size"]]))
+                    hap_len += ev["size"]
+                    cur = ev["pos"] + ev["size"]
+                else:  # INS
                     parts.append(ev["ins_seq"])
                     hap_len += ev["size"]
                     cur = ev["pos"]
@@ -237,9 +277,6 @@ def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
                     hap_to_ref(anchors, start),
                     hap_to_ref(anchors, start + frag_len - read_len)))
 
-    def rc(s):
-        return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
-
     def mutate(s):
         k = rng.binomialvariate(len(s), 0.002) if hasattr(
             rng, "binomialvariate") else sum(
@@ -275,16 +312,37 @@ def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
     with open(os.path.join(out_dir, "candidates.vcf"), "w") as f:
         f.write("##fileformat=VCFv4.2\n")
         f.write(f"##contig=<ID={contig},length={ref_len}>\n")
+        f.write('##INFO=<ID=END,Number=1,Type=Integer,'
+                'Description="SV end">\n')
+        f.write('##ALT=<ID=DUP,Description="Duplication">\n')
+        f.write('##ALT=<ID=INV,Description="Inversion">\n')
         f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
         for i, ev in enumerate(events):
-            if ev["kind"] == "DEL":
+            info = "."
+            if ev["kind"] in ("DEL", "DELSNP"):
                 ref_allele = ref[ev["pos"] - 1:ev["pos"] + ev["size"]]
                 alt = ref[ev["pos"] - 1]
+            elif ev["kind"] == "DUP":
+                ref_allele = ref[ev["pos"] - 1]
+                alt = "<DUP>"
+                info = f"END={ev['pos'] + ev['size']}"
+            elif ev["kind"] == "INV":
+                ref_allele = ref[ev["pos"] - 1]
+                alt = "<INV>"
+                info = f"END={ev['pos'] + ev['size']}"
             else:
                 ref_allele = ref[ev["pos"] - 1]
                 alt = ref[ev["pos"] - 1] + ev["ins_seq"]
+            if ev["kind"] == "DELSNP":
+                # nested companion SNP 60bp upstream: within read_length
+                # of the deletion, so split_type="superloci" merges both
+                # records into one graph (IDs must stay distinct — the
+                # builder rejects duplicate IDs per block, vcfgraph.py:80)
+                f.write(f"{contig}\t{ev['snp_pos'] + 1}\tev{i}snp\t"
+                        f"{ref[ev['snp_pos']]}\t{ev['snp_alt']}"
+                        f"\t.\tPASS\t.\n")
             f.write(f"{contig}\t{ev['pos']}\tev{i}\t{ref_allele}\t{alt}"
-                    f"\t.\tPASS\t.\n")
+                    f"\t.\tPASS\t{info}\n")
 
     with open(os.path.join(out_dir, "samples.txt"), "w") as f:
         f.write("id\tpath\tdepth\tread length\n")
