@@ -130,9 +130,22 @@ class GraphBreakpointGenotyper:
 
     def run_genotyping(self):
         """GraphBreakpointGenotyper::runGenotyping
-        (GraphBreakpointGenotyper.cpp:47-103)."""
+        (GraphBreakpointGenotyper.cpp:47-103).
+
+        The per-(breakpoint × sample) likelihood evaluation runs through
+        the vectorized float64 engine (genotyping/vectorized.py) — one
+        batch per ploidy class instead of the reference's scalar loop —
+        with bitwise-identical results (tests/test_vectorized_genotyper
+        .py). PARAGRAPH_TPU_GT_ENGINE=scalar restores the loop.
+        """
+        import os
+
         genotyper = BreakpointGenotyper(self.p_genotype_parameter)
         male_genotyper = BreakpointGenotyper(self.p_male_genotype_parameter)
+        use_vectorized = os.environ.get(
+            "PARAGRAPH_TPU_GT_ENGINE", "vectorized") != "scalar"
+
+        jobs = {True: [], False: []}  # is_male_ploidy -> job list
         for bp_name in self.breakpoint_names:
             for sample_index, samplename in enumerate(self.sample_names):
                 depth, read_length = self.depths[sample_index]
@@ -146,11 +159,32 @@ class GraphBreakpointGenotyper:
                     expected_depth, read_length,
                     self.depth_sds[sample_index],
                     self.p_genotype_parameter.use_poisson_depth)
-                if sample_ploidy == self.male_ploidy:
-                    gt = male_genotyper.genotype(b_param, counts)
+                is_male = sample_ploidy == self.male_ploidy
+                if use_vectorized:
+                    jobs[is_male].append(
+                        (samplename, bp_name, b_param, counts))
                 else:
-                    gt = genotyper.genotype(b_param, counts)
-                self.genotypes[(samplename, bp_name)] = gt
+                    engine = male_genotyper if is_male else genotyper
+                    self.genotypes[(samplename, bp_name)] = engine.genotype(
+                        b_param, counts)
+
+        if use_vectorized:
+            import numpy as np
+
+            from .vectorized import VectorizedBreakpointGenotyper
+
+            for is_male, job_list in jobs.items():
+                if not job_list:
+                    continue
+                param = (self.p_male_genotype_parameter if is_male
+                         else self.p_genotype_parameter)
+                vec = VectorizedBreakpointGenotyper(param)
+                results = vec.genotype_batch(
+                    [j[2] for j in job_list],
+                    np.asarray([j[3] for j in job_list], np.int64))
+                for (samplename, bp_name, _, _), gt in zip(
+                        job_list, results):
+                    self.genotypes[(samplename, bp_name)] = gt
 
         for sample_index, samplename in enumerate(self.sample_names):
             all_bp_gts = GenotypeSet()
