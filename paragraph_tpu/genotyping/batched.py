@@ -88,3 +88,82 @@ def make_model_inputs(allele_names: Sequence[str], ploidy: int = 2,
         "log_priors": jnp.zeros((gt_ploidy.shape[0],), jnp.float32),
         "gts": gts,
     }
+
+
+def _normal_sf_upper(x, mean, sd):
+    """P(X <= x) for Normal(mean, sd) via erfc (BreakpointGenotyper.cpp
+    uses boost's normal cdf; float32 device analogue)."""
+    return 0.5 * jax.scipy.special.erfc(
+        -(x - mean) / (sd * jnp.sqrt(2.0)))
+
+
+@partial(jax.jit, static_argnames=("min_overlap", "min_pass_gq"))
+def batched_genotype_full(counts, depth, read_length, depth_sd,
+                          use_poisson, gt_ploidy, error_rates,
+                          het_fractions, log_priors,
+                          coverage_cutoff=(0.02, 0.0001),
+                          min_overlap: int = 16, min_pass_gq: int = 10):
+    """Complete device genotyping step for a batch: likelihoods + best
+    GT + GQ (int-truncated like the C++ -10*log10 cast) + NO_READS/GQ/
+    BP_DEPTH filter flags + allele fractions + depth-test p-value.
+
+    Mirrors BreakpointGenotyper::genotype (BreakpointGenotyper.cpp:
+    86-192) in float32 for pod-scale population runs; the bit-parity
+    float64 engine is genotyping/vectorized.py. Shapes: counts [..., A];
+    depth/read_length/depth_sd/use_poisson [...]; returns a dict of
+    arrays with leading shape [...].
+    """
+    gl, best, _ = batched_genotype_likelihoods(
+        counts, depth, read_length, gt_ploidy, error_rates,
+        het_fractions, log_priors, min_overlap=min_overlap)
+
+    lam = depth * (read_length - min_overlap) / read_length
+    total = jnp.sum(counts, axis=-1)
+    no_reads = total == 0
+
+    best_gl = jnp.max(gl, axis=-1)
+    lse = jax.scipy.special.logsumexp(gl, axis=-1)
+    pr_err = -jnp.expm1(best_gl - lse)
+    gq_log10 = jnp.log10(jnp.maximum(pr_err, 1e-300))
+    gq = jnp.where((pr_err <= 0) | (gq_log10 < -10), 100,
+                   (-10.0 * gq_log10).astype(jnp.int32))
+    gq_filter = (~no_reads) & (gq < min_pass_gq)
+
+    fractions = counts / jnp.maximum(total, 1)[..., None]
+
+    totf = total.astype(jnp.float32)
+    normal_p = _normal_sf_upper(totf, lam, depth_sd)
+    # P(X <= k) = Q(k+1, lam) (regularized upper incomplete gamma)
+    poisson_p = jax.scipy.special.gammaincc(totf + 1.0, lam)
+    pv = jnp.where(use_poisson, poisson_p, normal_p)
+    upper = pv > 0.5
+    pv_two = jnp.where(upper, 1.0 - pv, pv)
+    bp_depth = (~no_reads) & jnp.where(
+        upper, pv_two < coverage_cutoff[0], pv_two < coverage_cutoff[1])
+
+    return {
+        "gl": gl, "best_gt": best, "gq": gq, "num_reads": total,
+        "allele_fractions": fractions, "coverage_test_pvalue": pv_two,
+        "no_reads": no_reads, "gq_filter": gq_filter,
+        "bp_depth": bp_depth,
+    }
+
+
+@jax.jit
+def combined_consensus_batch(best_gt, pass_mask, has_gt):
+    """Vectorized whole-variant consensus over the breakpoint axis
+    (CombinedGenotype.cpp:46-109 fast path): per sample, if every PASS
+    breakpoint votes the same genotype the consensus is that genotype;
+    otherwise the sample needs the conflict path (re-genotype on summed
+    counts), flagged here for the host to resolve.
+
+    best_gt [S, BP] int32; pass_mask/has_gt [S, BP] bool.
+    Returns (consensus_gt [S] — -1 where unresolved, conflict [S] bool).
+    """
+    votes = jnp.where(pass_mask & has_gt, best_gt, -1)
+    first = jnp.max(votes, axis=-1)  # a pass vote if any (-1 otherwise)
+    agree = jnp.all((votes == -1) | (votes == first[..., None]), axis=-1)
+    any_pass = jnp.any(votes >= 0, axis=-1)
+    consensus = jnp.where(any_pass & agree, first, -1)
+    conflict = any_pass & ~agree
+    return consensus, conflict

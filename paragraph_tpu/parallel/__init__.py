@@ -1,3 +1,5 @@
-from .mesh import make_mesh, sharded_full_step
+from .distributed import ShardedPairedSW, make_event_mesh
+from .mesh import make_mesh, merged_edge_counts, sharded_population_genotyping
 
-__all__ = ["make_mesh", "sharded_full_step"]
+__all__ = ["ShardedPairedSW", "make_event_mesh", "make_mesh",
+           "merged_edge_counts", "sharded_population_genotyping"]

@@ -39,7 +39,14 @@ from ..ops.multi_sw import (DEFAULT_TB, L_EV_FLOOR, M_FLOOR, PAIR_BUDGET,
 
 def make_event_mesh(n_devices: Optional[int] = None,
                     axis_name: str = "events") -> Mesh:
-    devices = jax.devices()
+    """Event-sharding mesh. Under jax.distributed (multi-host), events
+    are partitioned across hosts FIRST (parallel/multihost.py) and each
+    host shards its own events over its local chips only — event
+    scoring needs no cross-host collectives, exactly like the
+    reference's per-job population model (README.md:111-117) — so the
+    mesh is local-device in multi-process runs."""
+    devices = (jax.local_devices() if jax.process_count() > 1
+               else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))

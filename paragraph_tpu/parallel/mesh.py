@@ -1,16 +1,15 @@
-"""Device-mesh sharding for pod-scale genotyping.
+"""Device-mesh primitives for pod-scale genotyping.
 
 The reference is single-node (thread pools over graphs and samples,
 SURVEY.md §2.3); the TPU-native distribution axes are:
 
-- reads   → data-parallel across devices (ICI): the batched graph-SW fill
-  shards its batch dimension; per-edge read counts merge with psum.
-- events  → sharded across hosts/devices: the vectorized genotyping model
-  shards its event dimension.
-
-This module wires both into one jitted "full step" over a
-``jax.sharding.Mesh`` so the pipeline scales to a pod slice without code
-changes (XLA inserts the collectives).
+- reads   → data-parallel inside the multi-event fill's batch dimension
+  (ops/multi_sw.py); per-edge read counts merge with psum
+  (``merged_edge_counts``).
+- events  → sharded across devices: alignment scoring via
+  ``parallel.distributed.ShardedPairedSW`` (the production scorer), and
+  the genotyping model via ``sharded_population_genotyping`` below — one
+  SPMD program over a ``jax.sharding.Mesh``, XLA inserting collectives.
 """
 from __future__ import annotations
 
@@ -25,9 +24,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..genotyping.batched import batched_genotype_likelihoods
-from ..ops.batched_sw import _batched_fill
-
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = "data") -> Mesh:
@@ -37,45 +33,42 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devices), (axis_name,))
 
 
-def sharded_full_step(mesh: Mesh, graph_arrays, read_codes, read_lens,
-                      read_vlens, counts, depth, read_length, model,
-                      axis_name: str = "data"):
-    """One fully-sharded device step: batched graph-SW scoring of a read
-    batch (sharded over reads) + genotype likelihoods (sharded over
-    events), with per-edge count merging across shards via psum.
+def sharded_population_genotyping(mesh: Mesh, counts, depth, read_length,
+                                  depth_sd, use_poisson, model,
+                                  axis_name: str = "data",
+                                  min_pass_gq: int = 10):
+    """Population-scale genotyping: one device step over a batch of
+    (event × sample × breakpoint) items sharded across the mesh.
 
-    Returns (score, end_node, end_ref, end_read, multi, gl, best_gt, gq).
+    counts [N, A] and the per-item scalars [N] shard over ``axis_name``
+    (pad N to a multiple of the mesh size); the model tables replicate.
+    Runs genotyping/batched.py's full float32 model — likelihoods, best
+    GT, GQ, NO_READS/GQ/BP_DEPTH filters, allele fractions, depth test —
+    with no cross-item communication (items are independent, exactly
+    like the reference's per-breakpoint loop). Returns the dict of
+    result arrays, fully addressable on the host.
     """
+    from ..genotyping.batched import batched_genotype_full
+
+    batch = NamedSharding(mesh, P(axis_name))
+    mat = NamedSharding(mesh, P(axis_name, None))
     repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P(axis_name))
 
     def place(x, sharding):
         return jax.device_put(jnp.asarray(x), sharding)
 
-    a = graph_arrays
-    graph_in = tuple(
-        place(x, repl) for x in (a.ref_codes, a.col_node, a.col_in_node,
-                                 a.is_start, a.is_last, a.pred_table))
-    reads_in = (
-        place(read_codes, NamedSharding(mesh, P(axis_name, None))),
-        place(read_lens, batch_sh),
-        place(read_vlens, batch_sh),
-    )
-
-    @jax.jit
-    def step(graph_in, reads_in, counts, depth, read_length):
-        score, end_node, end_ref, end_read, multi, _node_max = _batched_fill(
-            *graph_in, *reads_in, num_nodes=a.num_nodes)
-        gl, best, gq = batched_genotype_likelihoods(
-            counts, depth, read_length, model["gt_ploidy"],
-            model["error_rates"], model["het_fractions"],
-            model["log_priors"])
-        return score, end_node, end_ref, end_read, multi, gl, best, gq
-
-    counts_in = place(counts, NamedSharding(mesh, P(axis_name, None)))
-    depth_in = place(depth, batch_sh)
-    rl_in = place(read_length, batch_sh)
-    return step(graph_in, reads_in, counts_in, depth_in, rl_in)
+    out = batched_genotype_full(
+        place(np.asarray(counts, np.int32), mat),
+        place(np.asarray(depth, np.float32), batch),
+        place(np.asarray(read_length, np.float32), batch),
+        place(np.asarray(depth_sd, np.float32), batch),
+        place(np.asarray(use_poisson, bool), batch),
+        place(model["gt_ploidy"], repl),
+        place(model["error_rates"], repl),
+        place(model["het_fractions"], repl),
+        place(model["log_priors"], repl),
+        min_pass_gq=min_pass_gq)
+    return {k: np.asarray(v) for k, v in out.items()}
 
 
 def merged_edge_counts(mesh: Mesh, local_support, axis_name: str = "data"):
@@ -87,15 +80,13 @@ def merged_edge_counts(mesh: Mesh, local_support, axis_name: str = "data"):
     local_support: [B, E] 0/1 fragment-supports-edge indicators sharded
     over reads; returns the global per-edge counts [E] replicated.
     """
-    from jax.experimental.shard_map import shard_map
-
     @jax.jit
     def merge(sup):
         def local(sup_block):
             return jax.lax.psum(
                 jnp.sum(sup_block, axis=0, dtype=jnp.int32), axis_name)
 
-        return shard_map(
+        return jax.shard_map(
             local, mesh=mesh,
             in_specs=P(axis_name, None), out_specs=P())(sup)
 
