@@ -79,6 +79,9 @@ def cmd_multigrmpy(argv):
     p.add_argument("--path-sequence-matching", action="store_true")
     p.add_argument("--graph-sequence-matching", default=True)
     p.add_argument("--bad-align-uniq-kmer-len", type=int, default=0)
+    p.add_argument("--validate-schemas", action="store_true",
+                   help="JSON-Schema validation of event graphs and "
+                        "genotyping records (paragraph_tpu/schema/)")
     _add_logging_args(p)
     args = p.parse_args(argv)
     _setup_logging(args)
@@ -109,6 +112,7 @@ def cmd_multigrmpy(argv):
         infer_read_haplotypes=args.infer_read_haplotypes,
         path_sequence_matching=args.path_sequence_matching,
         bad_align_uniq_kmer_len=args.bad_align_uniq_kmer_len,
+        validate_schemas=args.validate_schemas,
     )
     out = run(options)
     print(json.dumps(out))
@@ -183,6 +187,9 @@ def cmd_paragraph(argv):
                    help="validate alignments against truth paths encoded "
                         "in simulated read names (see docs/validation-"
                         "with-simulated-reads.md)")
+    p.add_argument("--validate-schemas", action="store_true",
+                   help="JSON-Schema validation of the input graph and "
+                        "the output JSON (paragraph_tpu/schema/)")
     _add_logging_args(p)
     args = p.parse_args(argv)
     _setup_logging(args)
@@ -201,8 +208,14 @@ def cmd_paragraph(argv):
     reads = extract_reads(reader, parameters.target_regions,
                           parameters.max_reads,
                           parameters.longest_alt_insertion)
+    if args.validate_schemas:
+        from ..utils.schema import validate, validate_graph_input
+
+        validate_graph_input(parameters.description)
     output = align_and_disambiguate(parameters, reads)
     output["bam"] = args.bam
+    if args.validate_schemas:
+        validate(output, "output")
     with _open_out(args.output) as f:
         json.dump(output, f, sort_keys=True, indent=2)
     return 0

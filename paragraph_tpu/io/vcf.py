@@ -97,11 +97,32 @@ class VcfRecord:
         return "\t".join(fields)
 
 
+def _is_bcf(path: str) -> bool:
+    """True if the file's (possibly BGZF-compressed) payload is BCF."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head[:3] == b"BCF":
+        return True
+    if head[:2] != b"\x1f\x8b":
+        return False
+    with gzip.open(path, "rb") as f:
+        return f.read(3) == b"BCF"
+
+
 class VcfReader:
     def __init__(self, path: str):
         self.path = path
         self.header_lines: List[str] = []
         self.samples: List[str] = []
+        self._bcf = None
+        if _is_bcf(path):
+            from .bcf import BcfReader
+
+            self._bcf = BcfReader(path)
+            self.header_lines = self._bcf.header_lines
+            self.samples = self._bcf.samples
+            self._fh = None
+            return
         opener = gzip.open if path.endswith(".gz") else open
         self._fh = opener(path, "rt")
         for line in self._fh:
@@ -118,6 +139,10 @@ class VcfReader:
                 raise ValueError(f"Malformed VCF header in {path}")
 
     def __iter__(self):
+        if self._bcf is not None:
+            for fields in self._bcf:
+                yield VcfRecord(**fields)
+            return
         for line in self._fh:
             line = line.rstrip("\n")
             if not line:
@@ -151,13 +176,23 @@ class VcfReader:
         )
 
     def close(self):
-        self._fh.close()
+        if self._bcf is not None:
+            self._bcf.close()
+        else:
+            self._fh.close()
 
 
 class VcfWriter:
     def __init__(self, path: str, header_lines: List[str], samples: List[str]):
         self.path = path
         self.samples = samples
+        if path.endswith(".bcf"):
+            from .bcf import BcfWriter
+
+            self._bcf = BcfWriter(path, header_lines, samples)
+            self._sink = None
+            return
+        self._bcf = None
         if path.endswith(".gz"):
             self._sink = BgzfWriter(path)
             self._write = lambda s: self._sink.write(s.encode())
@@ -174,10 +209,15 @@ class VcfWriter:
         self._write("\t".join(cols) + "\n")
 
     def write(self, record: VcfRecord):
+        if self._bcf is not None:
+            self._bcf.write(record)
+            return
         self._write(record.to_line(self.samples) + "\n")
 
     def close(self):
-        if self._sink is not None:
+        if self._bcf is not None:
+            self._bcf.close()
+        elif self._sink is not None:
             self._sink.close()
         else:
             self._fh.close()

@@ -51,6 +51,10 @@ class MultigrmpyOptions:
     bad_align_uniq_kmer_len: int = 0
     write_alignments: bool = False
     infer_read_haplotypes: bool = False
+    # JSON-Schema enforcement (paragraph_tpu/schema/*.json): validate
+    # every event graph after conversion and every genotyping record
+    # before writing; violations raise SchemaError with the JSON path
+    validate_schemas: bool = False
 
 
 def parse_vcf_lines(vcf_path: str, read_length: int = 150,
@@ -190,7 +194,7 @@ def load_graph_description(options: MultigrmpyOptions):
         ext = os.path.splitext(os.path.splitext(options.input)[0])[1] + ".gz"
 
     event_graphs = []
-    if ext in (".vcf", ".vcf.gz"):
+    if ext in (".vcf", ".vcf.gz", ".bcf"):
         header_lines, samples, records, event_list = convert_vcf_to_json(
             options, alt_paths=True)
 
@@ -241,6 +245,15 @@ def run(options: MultigrmpyOptions) -> dict:
     os.makedirs(options.output, exist_ok=True)
     graphs = load_graph_description(options)
 
+    if options.validate_schemas:
+        from ..utils.schema import validate_graph_input
+
+        for i, g in enumerate(graphs):
+            try:
+                validate_graph_input(g)
+            except Exception as exc:
+                raise type(exc)(f"event {i} ({g.get('ID', '?')}): {exc}")
+
     manifest = load_manifest(options.manifest)
     parameters = GrmpyParameters(
         threads=options.threads,
@@ -260,12 +273,21 @@ def run(options: MultigrmpyOptions) -> dict:
     results = run_grmpy(graphs, options.reference, manifest,
                         options.genotyping_parameters, parameters)
 
+    if options.validate_schemas:
+        from ..utils.schema import validate
+
+        for i, rec in enumerate(results):
+            try:
+                validate(rec, "genotypes")
+            except Exception as exc:
+                raise type(exc)(f"genotypes record {i}: {exc}")
+
     genotypes_json = os.path.join(options.output, "genotypes.json.gz")
     with gzip.open(genotypes_json, "wt") as f:
         json.dump(results, f, sort_keys=True, indent=2)
 
     out = {"genotypes_json": genotypes_json}
-    if options.input.endswith((".vcf", ".vcf.gz")):
+    if options.input.endswith((".vcf", ".vcf.gz", ".bcf")):
         sample_names = [s.sample_name for s in manifest]
         grmpy_output = read_grmpy(results)
         genotypes_vcf = os.path.join(options.output, "genotypes.vcf.gz")

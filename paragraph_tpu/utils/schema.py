@@ -1,12 +1,21 @@
-"""Structural validation of graph and paragraph-output JSON.
+"""Schema validation of graph, paragraph-output and genotypes JSON.
 
-Functional counterpart of the reference's JSON-Schema checks
-(share/schema/input_schema.json, output_schema.json + schema_check.py):
-validates the invariants the pipeline depends on and raises with a
-readable path on violation.
+Two layers, mirroring the reference's JSON-Schema checks
+(share/schema/{input,output}_schema.json + schema_check.py):
+
+- ``validate_graph_json`` / ``validate_paragraph_output``: fast
+  hand-rolled structural checks of the invariants the pipeline depends
+  on (cheap enough to always run where wired).
+- ``validate(obj, which)``: full JSON-Schema (draft 2020-12) validation
+  against the authored documents in ``paragraph_tpu/schema/*.json``,
+  enforced behind the ``--validate-schemas`` pipeline flag. Violations
+  raise ``SchemaError`` carrying the JSON path to the offending value.
 """
 from __future__ import annotations
 
+import functools
+import json
+import os
 from typing import List
 
 
@@ -14,9 +23,62 @@ class SchemaError(ValueError):
     pass
 
 
+_SCHEMA_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "schema")
+_SCHEMA_FILES = {
+    "input": "input_schema.json",
+    "output": "output_schema.json",
+    "genotypes": "genotypes_schema.json",
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _validator(which: str):
+    import jsonschema
+
+    with open(os.path.join(_SCHEMA_DIR, _SCHEMA_FILES[which])) as f:
+        schema = json.load(f)
+    cls = jsonschema.validators.validator_for(schema)
+    cls.check_schema(schema)
+    return cls(schema)
+
+
+def validate(obj: dict, which: str) -> None:
+    """JSON-Schema validation: ``which`` ∈ input | output | genotypes.
+
+    Raises SchemaError with the JSON path ("$.nodes[3].sequence: ...")
+    of the first (deepest-resolved) violation.
+    """
+    if which not in _SCHEMA_FILES:
+        raise ValueError(f"unknown schema {which!r}; "
+                         f"expected one of {sorted(_SCHEMA_FILES)}")
+    best = None
+    for err in _validator(which).iter_errors(obj):
+        import jsonschema
+
+        err = jsonschema.exceptions.best_match([err]) or err
+        if best is None or len(err.absolute_path) > len(
+                best.absolute_path):
+            best = err
+    if best is not None:
+        path = "$" + "".join(
+            f"[{p}]" if isinstance(p, int) else f".{p}"
+            for p in best.absolute_path)
+        raise SchemaError(f"{which} schema: {path}: {best.message}")
+
+
 def _require(cond: bool, path: str, msg: str):
     if not cond:
         raise SchemaError(f"{path}: {msg}")
+
+
+def validate_graph_input(desc: dict) -> None:
+    """JSON-Schema validation of one event graph description, accepting
+    both the flat form and the event wrapper carrying a ``graph`` key."""
+    root = dict(desc)
+    if "graph" in root:
+        root.update(root.pop("graph"))
+    validate(root, "input")
 
 
 def validate_graph_json(desc: dict, path: str = "graph") -> None:
