@@ -54,14 +54,19 @@ struct GraphCtx {
 };
 
 struct NodeFill {
-  // Only H is materialised ([len][m_pad]); E and F are recomputed on
+  // Only H is materialised ([rows][m_pad]); E and F are recomputed on
   // demand during traceback from H + the node's seed column (they are
   // pure functions of those), which cuts fill memory traffic 3x and
   // lets the row loops auto-vectorize.
-  std::vector<int32_t> H;         // len * m_pad
-  std::vector<int32_t> seed_E;    // m_pad: E entering row 0
+  //
+  // Banded fills (gsw_align_at) fill only the row suffix [row0, len):
+  // H holds (len - row0) rows and seed_E is E entering row `row0`.
+  // row0 == -1 marks a node outside the band (no fill at all).
+  std::vector<int32_t> H;         // (len - row0) * m_pad
+  std::vector<int32_t> seed_E;    // m_pad: E entering row `row0`
   std::vector<int32_t> last_H;    // m_pad
   std::vector<int32_t> next_E;    // m_pad
+  int row0 = 0;
   int score1 = 0;
   int ref_end1 = -1;
   int read_end1 = -1;
@@ -75,12 +80,21 @@ struct FillResult {
   int m_pad = 0;
 };
 
-// Fill all nodes in topological order with cross-node seeding
-// (elementwise max over predecessors' boundary states), including the
-// striped padding-lane semantics (read padded to 16-lane stripes with
-// score-0 positions).
+// Fill nodes in topological order with cross-node seeding (elementwise
+// max over predecessors' boundary states), including the striped
+// padding-lane semantics (read padded to 16-lane stripes with score-0
+// positions).
+//
+// `window` (nullable) is a per-node first-fill-row array for banded
+// fills: row0[nid] == -1 skips the node entirely, row0[nid] > 0 fills
+// only the row suffix with zero seeds (a fresh local-alignment start —
+// exact whenever the true alignment path lies inside the band, which the
+// caller verifies against the device-reported score). `stop_node` stops
+// the sweep after that node (banded fills never need later nodes), and
+// `stop_row` caps the final node's filled rows.
 void fill_graph(const GraphCtx& g, const char* read, int m_real,
-                FillResult* out) {
+                FillResult* out, const int* window = nullptr,
+                int stop_node = -1, int stop_row = -1) {
   const int m_pad = ((m_real + 15) / 16) * 16;
   out->m_real = m_real;
   out->m_pad = m_pad;
@@ -109,36 +123,50 @@ void fill_graph(const GraphCtx& g, const char* read, int m_real,
   std::vector<int32_t> seed_H(m_pad), seed_E(m_pad);
   std::vector<int32_t> ecol(m_pad), hp(m_pad);
 
-  for (size_t nid = 0; nid < n; ++nid) {
+  const size_t n_sweep =
+      stop_node >= 0 ? std::min(n, (size_t)stop_node + 1) : n;
+  for (size_t nid = 0; nid < n_sweep; ++nid) {
     const Node& node = g.nodes[nid];
     NodeFill& f = out->fills[nid];
-    const int len = (int)node.seq.size();
-    f.H.resize((size_t)len * m_pad);  // fully overwritten below
+    const int row0 = window ? window[nid] : 0;
+    f.row0 = row0;
+    if (row0 < 0) continue;  // outside the band
+    const int node_len = (int)node.seq.size();
+    const int len = (stop_row >= 0 && (int)nid == stop_node)
+                        ? std::min(node_len, stop_row + 1)
+                        : node_len;
+    f.H.resize((size_t)(len - row0) * m_pad);  // fully overwritten below
 
-    if (node.preds.empty()) {
-      std::fill(seed_H.begin(), seed_H.end(), 0);
-      std::fill(seed_E.begin(), seed_E.end(), 0);
-    } else {
-      const NodeFill& p0 = out->fills[node.preds[0]];
-      seed_H = p0.last_H;
-      seed_E = p0.next_E;
-      for (size_t k = 1; k < node.preds.size(); ++k) {
-        const NodeFill& pk = out->fills[node.preds[k]];
-        for (int j = 0; j < m_pad; ++j) {
-          seed_H[j] = std::max(seed_H[j], pk.last_H[j]);
-          seed_E[j] = std::max(seed_E[j], pk.next_E[j]);
+    bool any_pred = false;
+    if (row0 == 0) {
+      for (int p : node.preds) {
+        const NodeFill& pk = out->fills[p];
+        if (window && pk.row0 < 0) continue;  // unbanded pred: zero seed
+        if (!any_pred) {
+          seed_H = pk.last_H;
+          seed_E = pk.next_E;
+          any_pred = true;
+        } else {
+          for (int j = 0; j < m_pad; ++j) {
+            seed_H[j] = std::max(seed_H[j], pk.last_H[j]);
+            seed_E[j] = std::max(seed_E[j], pk.next_E[j]);
+          }
         }
       }
+    }
+    if (!any_pred) {
+      std::fill(seed_H.begin(), seed_H.end(), 0);
+      std::fill(seed_E.begin(), seed_E.end(), 0);
     }
     f.seed_E = seed_E;
     ecol = seed_E;
     int score1 = 0, ref_end1 = -1, read_end1 = m_real - 1;
 
     const int32_t* h_prev = seed_H.data();
-    for (int i = 0; i < len; ++i) {
+    for (int i = row0; i < len; ++i) {
       const int32_t* prow =
           &prof[(size_t)nt_class(node.seq[(size_t)i]) * m_pad];
-      int32_t* Hrow = &f.H[(size_t)i * m_pad];
+      int32_t* Hrow = &f.H[(size_t)(i - row0) * m_pad];
       int32_t* hpv = hp.data();
       const int32_t* ec = ecol.data();
       // 1) H' = max(0, diag + s, E)  — vectorizable shift/max
@@ -184,7 +212,7 @@ void fill_graph(const GraphCtx& g, const char* read, int m_real,
       }
     }
     if (ref_end1 >= 0) {
-      const int32_t* best_row = &f.H[(size_t)ref_end1 * m_pad];
+      const int32_t* best_row = &f.H[(size_t)(ref_end1 - row0) * m_pad];
       for (int j = 0; j < m_pad; ++j) {
         if (best_row[j] == score1 && j < read_end1) {
           read_end1 = j;
@@ -251,16 +279,23 @@ struct Mapping {
 
 // Traceback with gssw preference rules: in H diag > F-close > E-close;
 // in gaps open > extend; node boundaries crossed via sorted predecessors.
-void trace_back(const GraphCtx& g, const FillResult& r, const char* read,
-                Mapping* gm) {
+//
+// start_node >= 0 traces from the given end cell (banded fills, where the
+// device supplies the tie-broken global max) instead of the fill's max.
+// Returns false when the walk gets stuck — impossible on a full fill, and
+// on a banded fill the signal that the band was too narrow (the caller
+// falls back to a full-width alignment).
+bool trace_back(const GraphCtx& g, const FillResult& r, const char* read,
+                Mapping* gm, int start_node = -1, int start_ref = -1,
+                int start_read = -1) {
   const int m_pad = r.m_pad;
-  int n_id = r.max_node;
+  int n_id = start_node >= 0 ? start_node : r.max_node;
   const NodeFill* f = &r.fills[n_id];
-  int ref_end = f->ref_end1;
-  int read_end = f->read_end1;
+  int ref_end = start_node >= 0 ? start_ref : f->ref_end1;
+  int read_end = start_node >= 0 ? start_read : f->read_end1;
   int score = 0;
-  if (ref_end >= 0 && read_end >= 0)
-    score = f->H[(size_t)ref_end * m_pad + read_end];
+  if (ref_end >= f->row0 && read_end >= 0)
+    score = f->H[(size_t)(ref_end - f->row0) * m_pad + read_end];
   gm->score = score;
 
   std::vector<int> node_ids_rev;
@@ -268,25 +303,33 @@ void trace_back(const GraphCtx& g, const FillResult& r, const char* read,
   bool gap_in_read = false;
   int end_soft_clip = r.m_real - read_end - 1;
 
-  auto H = [&](const NodeFill* nf, int i, int j) {
-    return nf->H[(size_t)i * m_pad + j];
+  // All accessors are row0-aware: a banded fill stores only the row
+  // suffix [row0, len). Reads below row0 mean the band was too narrow —
+  // flagged and surfaced as a failed traceback.
+  bool oob = false;
+  auto H = [&](const NodeFill* nf, int i, int j) -> int32_t {
+    if (i < nf->row0) { oob = true; return INT32_MIN / 2; }
+    return nf->H[(size_t)(i - nf->row0) * m_pad + j];
   };
   // E/F are recomputed from H + the node's seed column (exact same
   // recurrences the fill evaluates); traceback touches O(path) cells so
   // the O(i)/O(j) walks are negligible.
-  auto E = [&](const NodeFill* nf, int i, int j) {
+  auto E = [&](const NodeFill* nf, int i, int j) -> int32_t {
+    if (i < nf->row0) { oob = true; return INT32_MIN / 2; }
     int32_t e = nf->seed_E[j];
-    for (int k = 1; k <= i; ++k) {
+    for (int k = nf->row0 + 1; k <= i; ++k) {
       int32_t ev = e - kGapExtend;
-      const int32_t hv = nf->H[(size_t)(k - 1) * m_pad + j] - kGapOpen;
+      const int32_t hv =
+          nf->H[(size_t)(k - 1 - nf->row0) * m_pad + j] - kGapOpen;
       if (hv > ev) ev = hv;
       e = ev > 0 ? ev : 0;
     }
     return e;
   };
-  auto F = [&](const NodeFill* nf, int i, int j) {
+  auto F = [&](const NodeFill* nf, int i, int j) -> int32_t {
+    if (i < nf->row0) { oob = true; return INT32_MIN / 2; }
     int32_t fv = 0;
-    const int32_t* Hrow = &nf->H[(size_t)i * m_pad];
+    const int32_t* Hrow = &nf->H[(size_t)(i - nf->row0) * m_pad];
     for (int k = 1; k <= j; ++k) {
       int32_t v = fv - kGapExtend;
       const int32_t hv = Hrow[k - 1] - kGapOpen;
@@ -320,7 +363,7 @@ void trace_back(const GraphCtx& g, const FillResult& r, const char* read,
             --i;
             continue;
           }
-          assert(false && "stuck in read gap");
+          return false;  // stuck in read gap
         }
         break;  // cross node boundary in gap
       }
@@ -340,7 +383,7 @@ void trace_back(const GraphCtx& g, const FillResult& r, const char* read,
             continue;
           }
         }
-        assert(false && "stuck in ref gap");
+        return false;  // stuck in ref gap
       }
       const char rc = nseq[(size_t)i];
       const char qc = read[j];
@@ -369,7 +412,7 @@ void trace_back(const GraphCtx& g, const FillResult& r, const char* read,
       if (j > 0 && score_here == F(f, i, j)) { g_ref = true; continue; }
       if (score_here == E(f, i, j)) { g_read = true; continue; }
       if (i == 0) break;  // cross node boundary diagonally
-      assert(false && "stuck in main matrix");
+      return false;  // stuck in main matrix (banded: band too narrow)
     }
 
     std::reverse(cig.begin(), cig.end());
@@ -389,7 +432,7 @@ void trace_back(const GraphCtx& g, const FillResult& r, const char* read,
     read_end = j;
     gap_in_read = g_read;
     score = score_here;
-    if (score != 0 && ref_end > 0) assert(false && "stopped mid-matrix");
+    if (score != 0 && ref_end > 0) return false;  // stopped mid-matrix
     if (score == 0) {
       if (read_end > -1) push_front_op(&cigars_rev.back(), 'S', read_end + 1);
       break;
@@ -398,6 +441,7 @@ void trace_back(const GraphCtx& g, const FillResult& r, const char* read,
     int best_prev = -1;
     for (int cn : g.nodes[n_id].preds) {
       const NodeFill* cf = &r.fills[cn];
+      if (cf->row0 < 0) continue;  // pred outside the band
       const int last = (int)g.nodes[cn].seq.size() - 1;
       if (!gap_in_read) {
         if (read_end > 0) {
@@ -431,7 +475,7 @@ void trace_back(const GraphCtx& g, const FillResult& r, const char* read,
       }
     }
     if (best_prev < 0) {
-      assert(score == 0 && "no valid previous node");
+      if (score != 0) return false;  // no valid previous node
       if (read_end > -1) push_front_op(&cigars_rev.back(), 'S', read_end + 1);
       break;
     }
@@ -442,6 +486,31 @@ void trace_back(const GraphCtx& g, const FillResult& r, const char* read,
   gm->position = ref_end + 1 >= 0 ? ref_end + 1 : 0;
   gm->node_ids.assign(node_ids_rev.rbegin(), node_ids_rev.rend());
   gm->cigars.assign(cigars_rev.rbegin(), cigars_rev.rend());
+  return true;
+}
+
+// Per-node first-fill rows for a banded fill ending at (end_node,
+// end_ref): walk the band budget backwards through predecessors; a node
+// keeps the smallest row0 (largest suffix) any successor demands.
+// Returns the rows to fill in `row0` (-1 = skip).
+void compute_window(const GraphCtx& g, int end_node, int end_ref,
+                    int budget, std::vector<int>* row0) {
+  const size_t n = g.nodes.size();
+  row0->assign(n, -1);
+  std::vector<int> leftover(n, -1);  // budget left before the filled rows
+  (*row0)[end_node] = std::max(0, end_ref + 1 - budget);
+  leftover[end_node] = budget - (end_ref + 1 - (*row0)[end_node]);
+  for (int nid = end_node; nid >= 0; --nid) {
+    if ((*row0)[nid] != 0 || leftover[nid] <= 0) continue;
+    const int a = leftover[nid];
+    for (int p : g.nodes[nid].preds) {
+      const int len_p = (int)g.nodes[p].seq.size();
+      const int r0 = std::max(0, len_p - a);
+      const int left = a - (len_p - r0);
+      if ((*row0)[p] < 0 || r0 < (*row0)[p]) (*row0)[p] = r0;
+      if (left > leftover[p]) leftover[p] = left;
+    }
+  }
 }
 
 std::string cigar_string(const Mapping& gm) {
@@ -501,10 +570,50 @@ int gsw_align(void* ctx, const char* read, int read_len, int* score,
   FillResult& r = *ctx_scratch(g);
   fill_graph(*g, upper.c_str(), read_len, &r);
   Mapping gm;
-  trace_back(*g, r, upper.c_str(), &gm);
+  if (!trace_back(*g, r, upper.c_str(), &gm)) return -3;
   *score = r.max_score;
   *position = gm.position;
   *multi = ends_at_multiple_nodes(r) ? 1 : 0;
+  std::string cig = cigar_string(gm);
+  if ((int)cig.size() + 1 > cigar_buf_size) return -1;
+  memcpy(cigar_buf, cig.c_str(), cig.size() + 1);
+  return 0;
+}
+
+// Banded fill + traceback from a device-supplied end cell: fills only a
+// 2*read_len+64-column band of node-row suffixes reachable backwards from
+// (end_node, end_ref) and walks the CIGAR from (end_ref, end_read). The
+// band is exact whenever the optimal path lies inside it, which is
+// verified by comparing the banded H at the end cell against
+// `expected_score` (the device kernel's tie-broken global max, already
+// validated cell-exact vs the full fill). Any mismatch or stuck walk
+// returns -2 and the caller re-runs the full-width gsw_align.
+// Uniqueness is NOT computed here — the device already reports it.
+int gsw_align_at(void* ctx, const char* read, int read_len, int end_node,
+                 int end_ref, int end_read, int expected_score, int* score,
+                 int* position, char* cigar_buf, int cigar_buf_size) {
+  GraphCtx* g = (GraphCtx*)ctx;
+  if (end_node < 0 || end_node >= (int)g->nodes.size() || end_ref < 0 ||
+      end_read < 0 || end_read >= read_len || expected_score <= 0 ||
+      end_ref >= (int)g->nodes[(size_t)end_node].seq.size())
+    return -2;
+  std::string upper(read, (size_t)read_len);
+  for (char& c : upper) c = (char)toupper((unsigned char)c);
+  const int budget = 2 * read_len + 64;
+  std::vector<int> window;
+  compute_window(*g, end_node, end_ref, budget, &window);
+  FillResult& r = *ctx_scratch(g);
+  fill_graph(*g, upper.c_str(), read_len, &r, window.data(), end_node,
+             end_ref);
+  const NodeFill& ef = r.fills[(size_t)end_node];
+  const int32_t got =
+      ef.H[(size_t)(end_ref - ef.row0) * r.m_pad + end_read];
+  if (got != expected_score) return -2;  // band too narrow: go full width
+  Mapping gm;
+  if (!trace_back(*g, r, upper.c_str(), &gm, end_node, end_ref, end_read))
+    return -2;
+  *score = gm.score;
+  *position = gm.position;
   std::string cig = cigar_string(gm);
   if ((int)cig.size() + 1 > cigar_buf_size) return -1;
   memcpy(cigar_buf, cig.c_str(), cig.size() + 1);

@@ -102,12 +102,20 @@ class BatchedGraphAligner:
         return gm.score, gm.position, gm.cigar_string()
 
     def align_reads_batch(self, reads: List[Read],
-                          precomputed=None) -> None:
+                          precomputed=None,
+                          trace_uniq_only: bool = False) -> None:
         """Batch equivalent of calling GraphAligner::alignRead per read
         with AF_ALL flags.
 
-        `precomputed` optionally carries (f_score, f_multi, r_multi) from
-        an external (e.g. cross-event) scoring pass.
+        `precomputed` optionally carries (f_score, f_multi, r_multi[,
+        f_end_node, f_end_ref, f_end_read]) from an external (e.g.
+        cross-event) scoring pass; the end-cell triple (when present)
+        seeds the banded native traceback.
+
+        `trace_uniq_only=True` skips the exact traceback for non-unique
+        reads — valid only when the caller's filter chain drops them on
+        the uniqueness flag alone and their CIGARs are never output
+        (grmpy's NonUniq-first chain with alignment output disabled).
         """
         if not reads:
             return
@@ -115,8 +123,14 @@ class BatchedGraphAligner:
             make_orientation_batches(reads)
         n = len(reads)
 
+        f_ends = None  # (end_node, end_ref, end_read) vs the fwd graph
         if precomputed is not None:
-            f_score, f_multi, r_multi = precomputed
+            if len(precomputed) >= 6:
+                (f_score, f_multi, r_multi,
+                 f_en, f_er, f_erd) = precomputed[:6]
+                f_ends = (f_en, f_er, f_erd)
+            else:
+                f_score, f_multi, r_multi = precomputed[:3]
             self.engine = "precomputed"
         else:
             try:
@@ -127,20 +141,21 @@ class BatchedGraphAligner:
                     hf = self._fwd_scorer.score_device(fwd_batch)
                     hr = self._rev_scorer.score_device(rev_batch)
                     if hf is not None and hr is not None:
-                        f_score, _, _, _, f_multi = \
+                        f_score, f_en, f_er, f_erd, f_multi = \
                             self._fwd_scorer.finalize(hf)
                         _, _, _, _, r_multi = self._rev_scorer.finalize(hr)
                     else:
-                        f_score, _, _, _, f_multi = \
+                        f_score, f_en, f_er, f_erd, f_multi = \
                             self._fwd_scorer.score(fwd_batch)
                         _, _, _, _, r_multi = \
                             self._rev_scorer.score(rev_batch)
                     self.engine = "pallas"
                 else:
-                    f_score, _, _, _, f_multi = \
+                    f_score, f_en, f_er, f_erd, f_multi = \
                         self._fwd_scorer.score(fwd_batch)
                     _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
                     self.engine = "scan"
+                f_ends = (f_en, f_er, f_erd)
             except Exception as exc:
                 # device kernel failed (e.g. Mosaic/compile issue on this
                 # toolchain) — fall back to the XLA scan scorer permanently,
@@ -154,12 +169,15 @@ class BatchedGraphAligner:
                     type(exc).__name__, exc)
                 self._fwd_scorer = BatchedGraphSW(self._fwd_scorer.graph)
                 self._rev_scorer = BatchedGraphSW(self._rev_scorer.graph)
-                f_score, _, _, _, f_multi = self._fwd_scorer.score(fwd_batch)
+                f_score, f_en, f_er, f_erd, f_multi = \
+                    self._fwd_scorer.score(fwd_batch)
                 _, _, _, _, r_multi = self._rev_scorer.score(rev_batch)
                 self.engine = "scan"
+                f_ends = (f_en, f_er, f_erd)
 
         chosen_list = []
         unique_list = []
+        ends_list = []
         for i, read in enumerate(reads):
             fwd_multi = bool(f_multi[i])
             rev_multi = bool(f_multi[n + i])
@@ -188,9 +206,37 @@ class BatchedGraphAligner:
                 unique = fwd_unique
             chosen_list.append(chosen)
             unique_list.append(unique)
+            # device end cell (fwd-graph coordinates) of the chosen
+            # orientation: row i is the fwd read, row n+i its revcomp
+            if f_ends is not None:
+                idx = n + i if return_reverse else i
+                ends_list.append((int(f_ends[0][idx]), int(f_ends[1][idx]),
+                                  int(f_ends[2][idx]),
+                                  int(f_score[idx])))
+            else:
+                ends_list.append(None)
 
-        # exact traceback on the chosen orientation only; the native C++
-        # engine releases the GIL, so fan out over threads
+        # exact traceback on the chosen orientation only — banded around
+        # the device-reported end cell when available (score-verified,
+        # falls back to full width on any mismatch). Non-unique reads
+        # skip traceback entirely when the caller guarantees the filter
+        # chain drops them unseen (trace_uniq_only).
+        skip = [trace_uniq_only and not u for u in unique_list]
+
+        def trace_one(eng, k):
+            if skip[k]:
+                e = ends_list[k]
+                return (e[3] if e else 0, 0, "")
+            e = ends_list[k]
+            if eng is not None:
+                if e is not None:
+                    return eng.align_at(chosen_list[k], e[0], e[1], e[2],
+                                        e[3])
+                score, pos, _multi, cigar = eng.align(chosen_list[k])
+                return score, pos, cigar
+            return self._trace(chosen_list[k])
+
+        # the native C++ engine releases the GIL, so fan out over threads
         if self._fwd_native is not None and len(reads) > 64:
             import concurrent.futures
 
@@ -203,20 +249,21 @@ class BatchedGraphAligner:
             ]
 
             def trace_chunk(args):
-                widx, chunk = args
+                widx, idxs = args
                 eng = engines[widx]
-                return [eng.align(c) for c in chunk]
+                return [trace_one(eng, k) for k in idxs]
 
-            chunks = [(w, chosen_list[w::workers]) for w in range(workers)]
+            chunks = [(w, list(range(w, len(reads), workers)))
+                      for w in range(workers)]
             with concurrent.futures.ThreadPoolExecutor(workers) as ex:
                 chunk_results = list(ex.map(trace_chunk, chunks))
-            results = [None] * len(reads)
-            for w, res in enumerate(chunk_results):
-                for k, r in enumerate(res):
-                    results[w + k * workers] = r
-            traces = [(r[0], r[1], r[3]) for r in results]
+            traces = [None] * len(reads)
+            for (w, idxs), res in zip(chunks, chunk_results):
+                for k, r in zip(idxs, res):
+                    traces[k] = r
         else:
-            traces = [self._trace(c) for c in chosen_list]
+            traces = [trace_one(self._fwd_native, k)
+                      for k in range(len(reads))]
 
         for read, unique, (score, pos, cigar) in zip(
                 reads, unique_list, traces):

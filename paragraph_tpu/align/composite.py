@@ -107,21 +107,26 @@ def align_reads(graph: SequenceGraph, paths, reads: List[Read],
                 threads: int = 1,
                 engine: str = "batched",
                 precomputed_scores=None,
-                stats_out: Optional[dict] = None) -> List[Read]:
+                stats_out: Optional[dict] = None,
+                trace_uniq_only: bool = False) -> List[Read]:
     """grm::alignReads (Align.cpp:114-156): align every read and keep only
     those that end MAPPED. Returns the filtered read buffer.
 
     engine="batched" scores all reads in one device fill per orientation
     (ops/batched_sw.py) and runs the exact traceback host-side;
     engine="scalar" runs the per-read scalar path. Results are identical.
-    `precomputed_scores` injects (f_score, f_multi, r_multi) from a
-    cross-event scoring pass (pipeline/grmpy.py batch mode).
+    `precomputed_scores` injects (f_score, f_multi, r_multi[, f_end_node,
+    f_end_ref, f_end_read]) from a cross-event scoring pass
+    (pipeline/grmpy.py batch mode); the end cells seed the banded native
+    traceback. `trace_uniq_only` skips traceback for non-unique reads
+    (callers whose filter chain drops them on the uniqueness flag alone).
     """
     if engine == "batched" and graph_matching and not (
             validate_alignments or klib_matching or kmer_matching):
         return _align_reads_batched(graph, paths, reads, filt,
                                     path_matching, precomputed_scores,
-                                    threads=threads, stats_out=stats_out)
+                                    threads=threads, stats_out=stats_out,
+                                    trace_uniq_only=trace_uniq_only)
     aligner = CompositeAligner(path_matching, graph_matching,
                                klib_matching, kmer_matching)
     if validate_alignments:
@@ -161,7 +166,8 @@ def _align_reads_batched(graph: SequenceGraph, paths, reads: List[Read],
                          path_matching: bool,
                          precomputed_scores=None,
                          threads: int = 1,
-                         stats_out: Optional[dict] = None) -> List[Read]:
+                         stats_out: Optional[dict] = None,
+                         trace_uniq_only: bool = False) -> List[Read]:
     from .batched_aligner import BatchedGraphAligner
 
     path_aligner = None
@@ -187,7 +193,8 @@ def _align_reads_batched(graph: SequenceGraph, paths, reads: List[Read],
     # only reads still unmapped go to the graph stage (BAD_ALIGN reads get
     # the same second chance the CompositeAligner gives them)
     stage2 = [r for r in needs_graph if r.graph_mapping_status != MAPPED]
-    batched.align_reads_batch(stage2, precomputed=precomputed_scores)
+    batched.align_reads_batch(stage2, precomputed=precomputed_scores,
+                              trace_uniq_only=trace_uniq_only)
     if stats_out is not None:
         stats_out["engine"] = batched.engine
     n_filtered = 0

@@ -53,6 +53,12 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             lib.gsw_score.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.gsw_align_at.restype = ctypes.c_int
+            lib.gsw_align_at.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_char_p, ctypes.c_int]
             _lib = lib
             return _lib
         except (OSError, subprocess.CalledProcessError):
@@ -115,3 +121,21 @@ class NativeGraphSW:
         self._lib.gsw_score(self._ctx, rb, len(rb), ctypes.byref(score),
                             ctypes.byref(multi))
         return score.value, bool(multi.value)
+
+    def align_at(self, read: str, end_node: int, end_ref: int,
+                 end_read: int, expected_score: int):
+        """Banded fill + traceback from a device-reported end cell
+        (2*len+64-column band), verified against the device score;
+        any mismatch falls back to the exact full-width align().
+        Returns (score, position, cigar_string)."""
+        score = ctypes.c_int()
+        position = ctypes.c_int()
+        rb = read.encode()
+        ret = self._lib.gsw_align_at(
+            self._ctx, rb, len(rb), int(end_node), int(end_ref),
+            int(end_read), int(expected_score), ctypes.byref(score),
+            ctypes.byref(position), self._buf, len(self._buf))
+        if ret != 0:
+            s, p, _multi, cig = self.align(read)
+            return s, p, cig
+        return score.value, position.value, self._buf.value.decode()

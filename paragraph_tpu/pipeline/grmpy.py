@@ -243,7 +243,8 @@ def align_samples_batched(parameters: GrmpyParameters,
             results = paired.score_pairs(batches)
             for k, (gd, pp, graph, s, reads) in enumerate(scoring_jobs):
                 f_out, r_out = results[k]
-                precomputed[k] = (f_out[0], f_out[4], r_out[4])
+                precomputed[k] = (f_out[0], f_out[4], r_out[4],
+                                  f_out[1], f_out[2], f_out[3])
         except (RuntimeError, NotImplementedError, OSError) as exc:
             # device path unavailable (XlaRuntimeError / Mosaic lowering
             # NotImplementedError / tunnel OSError): score per event —

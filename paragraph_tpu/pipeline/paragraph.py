@@ -132,6 +132,13 @@ def align_and_disambiguate(parameters: Parameters,
         return filtered
 
     align_stats: Dict[str, object] = {}
+    # non-unique reads need no CIGAR when the NonUniq filter (first in
+    # the chain) drops them and no alignment record is ever emitted —
+    # their exact traceback is skipped (ReadFilter.cpp:73-90 order)
+    trace_uniq_only = (
+        parameters.remove_nonuniq_reads
+        and not parameters.output_enabled(ALIGNMENTS)
+        and not parameters.output_enabled(FILTERED_ALIGNMENTS))
     kept = align_reads(
         graph, paths_from_json(graph, parameters.description.get("paths")),
         all_reads, read_filter_function,
@@ -140,7 +147,8 @@ def align_and_disambiguate(parameters: Parameters,
         parameters.klib_sequence_matching,
         parameters.kmer_sequence_matching,
         parameters.validate_alignments, parameters.threads,
-        precomputed_scores=precomputed_scores, stats_out=align_stats)
+        precomputed_scores=precomputed_scores, stats_out=align_stats,
+        trace_uniq_only=trace_uniq_only)
     all_reads[:] = kept
 
     if parameters.output_enabled(HAPLOTYPES):

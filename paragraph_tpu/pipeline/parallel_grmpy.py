@@ -226,7 +226,8 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
                     reads = reads_by_event[gi][s.sample_name]
                     if scores is not None:
                         f_out, r_out = scores[k]
-                        sc = (f_out[0], f_out[4], r_out[4])
+                        sc = (f_out[0], f_out[4], r_out[4],
+                              f_out[1], f_out[2], f_out[3])
                     else:
                         sc = None
                     k += 1

@@ -59,3 +59,69 @@ def test_native_random():
                 reads.append(r)
         if reads:
             _check(g, reads)
+
+
+def _check_banded(g, reads):
+    """align_at from the oracle's end cell must reproduce the full-width
+    align() byte for byte (score, position, CIGAR)."""
+    py = GraphSW(g)
+    nat = NativeGraphSW(g)
+    n_banded = 0
+    for read in reads:
+        fills, max_node, max_score = py.fill(read)
+        if max_score <= 0:
+            continue
+        f = fills[max_node]
+        want = nat.align(read)
+        got = nat.align_at(read, max_node, f.ref_end1, f.read_end1,
+                           max_score)
+        assert got == (want[0], want[1], want[3]), (read, got, want)
+        n_banded += 1
+    return n_banded
+
+
+def test_banded_simple():
+    g = _make_graph(["AAAATTTT", "CCCC", "GGGGAAAA"],
+                    [(0, 1), (0, 2), (1, 2)])
+    _check_banded(g, ["TTTTCCCCGGGG", "AAAATTTTGGGG", "CCCCGGGG", "TTTT",
+                      "GGGGGGGG", "ACGT"])
+
+
+def test_banded_long_flanks():
+    # node far longer than the band: the suffix fill must still match
+    rng = random.Random(7)
+    flank = "".join(rng.choice("ACGT") for _ in range(3000))
+    mid = "".join(rng.choice("ACGT") for _ in range(40))
+    g = _make_graph([flank, mid, flank[::-1]], [(0, 1), (0, 2), (1, 2)])
+    reads = [flank[2950:] + mid[:20], flank[-30:] + flank[::-1][:40],
+             mid + flank[::-1][:60], flank[100:180]]
+    assert _check_banded(g, reads) >= 3
+
+
+def test_banded_random():
+    rng = random.Random(77)
+    n_checked = 0
+    for case in range(40):
+        seqs, edges = _random_graph(rng, max_nodes=6, max_len=40)
+        g = _make_graph(seqs, edges)
+        reads = []
+        for _ in range(6):
+            r = _read_from_graph(rng, seqs, edges,
+                                 read_len=rng.randint(10, 60),
+                                 mutate=0.08, indel=0.04)
+            if r:
+                reads.append(r)
+        if reads:
+            n_checked += _check_banded(g, reads)
+    assert n_checked > 100
+
+
+def test_banded_rejects_wrong_score():
+    # a wrong expected_score must not produce a bogus banded CIGAR: the
+    # binding falls back to the exact full-width alignment
+    g = _make_graph(["AAAATTTT", "CCCC", "GGGGAAAA"],
+                    [(0, 1), (0, 2), (1, 2)])
+    nat = NativeGraphSW(g)
+    want = nat.align("TTTTCCCCGGGG")
+    got = nat.align_at("TTTTCCCCGGGG", 2, 3, 11, 9999)
+    assert got == (want[0], want[1], want[3])
