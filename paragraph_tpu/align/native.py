@@ -33,9 +33,11 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         if _lib_failed:
             return None
         try:
+            srcs_mtime = max(
+                os.path.getmtime(os.path.join(_NATIVE_DIR, f))
+                for f in ("graph_sw.cpp", "bam_scan.cpp"))
             if not os.path.exists(_LIB_PATH) or (
-                    os.path.getmtime(_LIB_PATH) < os.path.getmtime(
-                        os.path.join(_NATIVE_DIR, "graph_sw.cpp"))):
+                    os.path.getmtime(_LIB_PATH) < srcs_mtime):
                 subprocess.run(["make", "-C", _NATIVE_DIR],
                                check=True, capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)
@@ -59,6 +61,13 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.c_char_p, ctypes.c_int]
+            lib.bam_scan.restype = ctypes.c_int
+            lib.bam_scan.argtypes = [
+                ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int)]
             _lib = lib
             return _lib
         except (OSError, subprocess.CalledProcessError):
@@ -68,6 +77,13 @@ def _load_lib() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return _load_lib() is not None
+
+
+def load_native_lib():
+    """The process-wide handle of the native runtime library (graph-SW
+    fill/traceback + BAM record scanning), or None when it cannot be
+    built. Shared by io/bam.py for its native fetch path."""
+    return _load_lib()
 
 
 class NativeGraphSW:

@@ -260,7 +260,14 @@ class BamReader:
 
         Region/flag filters run on the cheap fixed-size record prefix;
         bases/quals/name only decode for records that pass (the BAI linear
-        index is 16kb-grained, so chunks often start well before `beg`)."""
+        index is 16kb-grained, so chunks often start well before `beg`).
+        When the native runtime library is available, the record walk +
+        prefix filter run in C (native/bam_scan.cpp) and Python decodes
+        survivors only."""
+        lib = _native_scan_lib()
+        if lib is not None:
+            yield from self._fetch_native(lib, tid, beg, end, primary_only)
+            return
         for data in self._raw_records_in_chunks(
                 self._index.chunks_for_region(tid, beg, end)):
             refid, pos = struct.unpack_from("<ii", data, 0)
@@ -283,6 +290,60 @@ class BamReader:
                 if pos + (rlen if rlen > 0 else 1) <= beg:
                     continue
             yield _decode_record(data)
+
+    def _fetch_native(self, lib, tid: int, beg: int, end: int,
+                      primary_only: bool) -> Iterator[BamRecord]:
+        """fetch() with the record walk + prefix filter in C: per merged
+        BAI chunk, BGZF blocks decompress into one growing buffer and
+        native/bam_scan.cpp returns the offsets of passing records."""
+        import ctypes
+
+        exclude = (FLAG_SECONDARY | FLAG_SUPPLEMENTARY) if primary_only \
+            else 0
+        cap = 8192
+        out_off = (ctypes.c_int64 * cap)()
+        consumed = ctypes.c_int64()
+        state = ctypes.c_int()
+        bgzf = self._bgzf
+        for cbeg, cend in self._index.chunks_for_region(tid, beg, end):
+            buf = bytearray()
+            coffset = cbeg >> 16
+            start = cbeg & 0xFFFF
+            cend_coffset, cend_uoffset = cend >> 16, cend & 0xFFFF
+            # records stop STARTING at the chunk-end virtual offset, but
+            # the last one may still span into later blocks
+            stop_off = -1
+            eof = False
+            while True:
+                if not eof:
+                    base = len(buf)
+                    data, coffset_next = bgzf.block_at(coffset)
+                    if data:
+                        buf += data
+                        if coffset == cend_coffset:
+                            stop_off = base + cend_uoffset
+                        coffset = coffset_next
+                    else:
+                        eof = True
+                while True:
+                    cbuf = (ctypes.c_char * len(buf)).from_buffer(buf) \
+                        if buf else (ctypes.c_char * 1)()
+                    n = lib.bam_scan(
+                        cbuf, len(buf), start, stop_off, tid, beg, end,
+                        exclude, out_off, cap, ctypes.byref(consumed),
+                        ctypes.byref(state))
+                    del cbuf  # release the export before growing buf
+                    for k in range(n):
+                        off = out_off[k]
+                        bsz = struct.unpack_from("<i", buf, off)[0]
+                        yield _decode_record(
+                            bytes(buf[off + 4:off + 4 + bsz]))
+                    start = consumed.value
+                    if state.value != 2:  # 2 = capacity: rescan in place
+                        break
+                if state.value == 1 or eof:
+                    break  # done, or no more bytes for a spanning record
+                # state == 0: mid-record, append the next block
 
     def fetch_region(self, region_str: str, primary_only: bool = True):
         from .regions import parse_region

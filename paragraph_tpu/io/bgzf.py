@@ -54,6 +54,14 @@ class BgzfReader:
         self._block_data = data
         self._next_coffset = coffset + bsize
 
+    def block_at(self, coffset: int):
+        """Decompressed payload of the block at compressed offset
+        `coffset` plus the next block's offset — the bulk-read primitive
+        of the native BAM scan path (io/bam.py _fetch_native). Returns
+        (b\"\", coffset) at EOF."""
+        self._load_block(coffset)
+        return self._block_data, self._next_coffset
+
     def seek_virtual(self, voffset: int) -> None:
         coffset = voffset >> 16
         uoffset = voffset & 0xFFFF
