@@ -37,6 +37,14 @@ CIGAR_OPS = "MIDNSHP=X"
 _REF_CONSUME = {0, 2, 3, 7, 8}
 
 
+def _native_scan_lib():
+    """Handle of the native runtime library (bam_scan record walker), or
+    None when it can't be built. Imported lazily: align.native pulls in
+    graph.model, which io code must not require at import time."""
+    from ..align.native import load_native_lib
+    return load_native_lib()
+
+
 @dataclass
 class BamRecord:
     """Decoded BAM alignment record.
