@@ -141,13 +141,21 @@ def bench_reference_cpu(g, reads, max_reads=128):
 
 
 def _device_worker():
-    """Entry for the watchdog subprocess: prints the device cells/s."""
+    """Entry for the watchdog subprocess: prints the device cells/s plus
+    the platform it ACTUALLY ran on (so a silent CPU fallback can never
+    masquerade as a TPU number — VERDICT r03 weak #2)."""
+    import jax
+
     on_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
     # smaller case on the CPU fallback so it finishes well inside its
     # watchdog (throughput per cell is batch-insensitive there)
-    g, reads = build_case(n_reads=2048 if on_cpu else 8192)
-    cells_per_s, _ = bench_device(g, reads, repeats=1 if on_cpu else 6)
-    print(f"DEVICE_RESULT {cells_per_s}", flush=True)
+    n_reads = 2048 if on_cpu else 8192
+    g, reads = build_case(n_reads=n_reads)
+    repeats = 1 if on_cpu else 6
+    cells_per_s, _ = bench_device(g, reads, repeats=repeats)
+    platform = jax.devices()[0].platform
+    print(f"DEVICE_RESULT {cells_per_s} {platform} {n_reads} {repeats}",
+          flush=True)
 
 
 def main():
@@ -158,44 +166,60 @@ def main():
     g, reads = build_case()
 
     # Device benchmark under a watchdog: a hung TPU tunnel must not stall
-    # the harness. Falls back to the CPU scan kernel.
+    # the harness. A fallback to the CPU scan kernel is REPORTED AS A
+    # FAILURE: "path": "cpu-fallback", "failed": true, and exit code 1 —
+    # its number is not comparable to the TPU one (different batch size)
+    # and must never be recorded as the round's TPU result.
     import subprocess
 
-    device_cells_per_s = None
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--device-worker"],
-            capture_output=True, text=True, timeout=780)
+    def run_worker(env, timeout):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--device-worker"],
+                capture_output=True, text=True, timeout=timeout, env=env)
+        except (subprocess.TimeoutExpired, OSError):
+            return None
         for line in proc.stdout.splitlines():
             if line.startswith("DEVICE_RESULT "):
-                device_cells_per_s = float(line.split()[1])
-    except (subprocess.TimeoutExpired, OSError):
-        pass
-    if device_cells_per_s is None:
+                parts = line.split()
+                return {"cells_per_s": float(parts[1]),
+                        "platform": parts[2],
+                        "n_reads": int(parts[3]),
+                        "dispatches": int(parts[4])}
+        return None
+
+    result = run_worker(dict(os.environ), timeout=780)
+    tpu_ok = result is not None and result["platform"] != "cpu"
+    if not tpu_ok:
         # PALLAS_AXON_POOL_IPS="" keeps sitecustomize from dialing the
         # device tunnel at interpreter start (it can hang when the relay
         # is down — the reason this fallback exists)
         env = dict(os.environ, JAX_PLATFORMS="cpu",
                    PALLAS_AXON_POOL_IPS="")
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--device-worker"],
-                capture_output=True, text=True, timeout=400, env=env)
-            for line in proc.stdout.splitlines():
-                if line.startswith("DEVICE_RESULT "):
-                    device_cells_per_s = float(line.split()[1])
-        except (subprocess.TimeoutExpired, OSError):
-            device_cells_per_s = 0.0
+        result = run_worker(env, timeout=400)
 
+    device_cells_per_s = result["cells_per_s"] if result else 0.0
     baseline = bench_reference_cpu(g, reads)
     vs = (device_cells_per_s / baseline) if baseline else 0.0
-    print(json.dumps({
+    out = {
         "metric": "graph_sw_cells_per_second",
-        "value": round(device_cells_per_s or 0.0, 1),
+        "value": round(device_cells_per_s, 1),
         "unit": "cells/s",
         "vs_baseline": round(vs, 2),
-    }))
+        "path": "tpu" if tpu_ok else "cpu-fallback",
+        "platform": result["platform"] if result else "none",
+        "batch_reads": result["n_reads"] if result else 0,
+        "dispatches": result["dispatches"] if result else 0,
+        "baseline_cells_per_s": round(baseline or 0.0, 1),
+    }
+    if not tpu_ok:
+        out["failed"] = True
+        out["failure"] = ("TPU unavailable or watchdog timeout; value is "
+                          "the CPU fallback and NOT comparable to baseline")
+    print(json.dumps(out))
+    if not tpu_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

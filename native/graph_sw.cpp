@@ -12,11 +12,13 @@
 // Build: make -C native   (produces libparagraph_sw.so)
 
 #include <algorithm>
+#include <atomic>
 #include <cassert>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -599,13 +601,23 @@ int gsw_align_at(void* ctx, const char* read, int read_len, int end_node,
     return -2;
   std::string upper(read, (size_t)read_len);
   for (char& c : upper) c = (char)toupper((unsigned char)c);
-  const int budget = 2 * read_len + 64;
+  // Band budget from the score bound: the alignment's reference span is
+  // <= 2*read_len - score (each deleted ref base costs >= kGapExtend=1
+  // and matches contribute kMatch=1 each, so deletions D <= m - score
+  // <= read_len - score, and span = m + x + D <= read_len + D). The +8
+  // slack is free insurance; the expected-score check below still
+  // catches any band miss and falls back to full width. Clamped low for
+  // garbage scores (> kMatch*read_len is unattainable — the check below
+  // will reject and the caller re-runs full width).
+  const int budget = std::max(
+      1, std::min(2 * read_len + 64, 2 * read_len - expected_score + 8));
   std::vector<int> window;
   compute_window(*g, end_node, end_ref, budget, &window);
   FillResult& r = *ctx_scratch(g);
   fill_graph(*g, upper.c_str(), read_len, &r, window.data(), end_node,
              end_ref);
   const NodeFill& ef = r.fills[(size_t)end_node];
+  if (ef.row0 < 0 || end_ref < ef.row0) return -2;
   const int32_t got =
       ef.H[(size_t)(end_ref - ef.row0) * r.m_pad + end_read];
   if (got != expected_score) return -2;  // band too narrow: go full width
@@ -617,6 +629,81 @@ int gsw_align_at(void* ctx, const char* read, int read_len, int end_node,
   std::string cig = cigar_string(gm);
   if ((int)cig.size() + 1 > cigar_buf_size) return -1;
   memcpy(cigar_buf, cig.c_str(), cig.size() + 1);
+  return 0;
+}
+
+// Batched banded traceback: one call aligns `n` reads from their
+// device-reported end cells, fanned out over `n_threads` native threads
+// (the per-read work is independent; each thread owns its own scratch).
+// reads are concatenated in `reads_concat` with prefix offsets
+// `read_offs[n+1]`. Outputs: per-read rc (0 ok, -2 = caller must rerun
+// full width), score, position, and the CIGAR written into
+// `cigar_buf + i * cigar_stride` (rc -1 on overflow).
+int gsw_align_at_batch(void* ctx, const char* reads_concat,
+                       const int64_t* read_offs, int n,
+                       const int* end_nodes, const int* end_refs,
+                       const int* end_reads, const int* expected_scores,
+                       int n_threads, int* rcs, int* scores, int* positions,
+                       char* cigar_buf, int cigar_stride) {
+  GraphCtx* g = (GraphCtx*)ctx;
+  if (n <= 0) return 0;
+  n_threads = std::max(1, std::min(n_threads, 16));
+  std::vector<std::thread> pool;
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    FillResult scratch;
+    Mapping gm;
+    std::string upper;
+    std::vector<int> window;
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      const char* read = reads_concat + read_offs[i];
+      const int read_len = (int)(read_offs[i + 1] - read_offs[i]);
+      const int end_node = end_nodes[i], end_ref = end_refs[i];
+      const int end_read = end_reads[i], exp_score = expected_scores[i];
+      char* cig_out = cigar_buf + (size_t)i * cigar_stride;
+      cig_out[0] = '\0';
+      if (end_node < 0 || end_node >= (int)g->nodes.size() ||
+          end_ref < 0 || end_read < 0 || end_read >= read_len ||
+          exp_score <= 0 ||
+          end_ref >= (int)g->nodes[(size_t)end_node].seq.size()) {
+        rcs[i] = -2;
+        continue;
+      }
+      upper.assign(read, (size_t)read_len);
+      for (char& c : upper) c = (char)toupper((unsigned char)c);
+      const int budget = std::max(
+          1, std::min(2 * read_len + 64, 2 * read_len - exp_score + 8));
+      compute_window(*g, end_node, end_ref, budget, &window);
+      fill_graph(*g, upper.c_str(), read_len, &scratch, window.data(),
+                 end_node, end_ref);
+      const NodeFill& ef = scratch.fills[(size_t)end_node];
+      if (ef.row0 < 0 || end_ref < ef.row0) { rcs[i] = -2; continue; }
+      const int32_t got =
+          ef.H[(size_t)(end_ref - ef.row0) * scratch.m_pad + end_read];
+      if (got != exp_score) { rcs[i] = -2; continue; }
+      gm.node_ids.clear();
+      gm.cigars.clear();
+      if (!trace_back(*g, scratch, upper.c_str(), &gm, end_node, end_ref,
+                      end_read)) {
+        rcs[i] = -2;
+        continue;
+      }
+      scores[i] = gm.score;
+      positions[i] = gm.position;
+      const std::string cig = cigar_string(gm);
+      if ((int)cig.size() + 1 > cigar_stride) { rcs[i] = -1; continue; }
+      memcpy(cig_out, cig.c_str(), cig.size() + 1);
+      rcs[i] = 0;
+    }
+  };
+  if (n_threads == 1 || n < 8) {
+    worker();
+  } else {
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
   return 0;
 }
 

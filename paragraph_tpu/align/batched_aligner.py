@@ -175,100 +175,72 @@ class BatchedGraphAligner:
                 self.engine = "scan"
                 f_ends = (f_en, f_er, f_erd)
 
+        import numpy as np
+
+        # vectorized strand choice (GraphAligner.cpp:340-356): unique
+        # beats non-unique, then higher forward-graph score
+        f_score = np.asarray(f_score)
+        f_multi_b = np.asarray(f_multi, bool)
+        r_multi_b = np.asarray(r_multi, bool)
+        fwd_unique = ~f_multi_b[:n] & ~r_multi_b[:n]
+        rev_unique = ~f_multi_b[n:2 * n] & ~r_multi_b[n:2 * n]
+        return_reverse = np.where(
+            fwd_unique != rev_unique, rev_unique,
+            f_score[:n] < f_score[n:2 * n])
+        unique_arr = np.where(return_reverse, rev_unique, fwd_unique)
+        chosen_idx = np.where(return_reverse, np.arange(n) + n,
+                              np.arange(n))
+        chosen_scores = f_score[chosen_idx]
+
         chosen_list = []
-        unique_list = []
-        ends_list = []
         for i, read in enumerate(reads):
-            fwd_multi = bool(f_multi[i])
-            rev_multi = bool(f_multi[n + i])
-            rfwd_multi = bool(r_multi[i])
-            rrev_multi = bool(r_multi[n + i])
-            fwd_unique = (not fwd_multi) and (not rfwd_multi)
-            rev_unique = (not rev_multi) and (not rrev_multi)
-
-            return_reverse = False
-            if not fwd_unique and rev_unique:
-                return_reverse = True
-            elif fwd_unique and not rev_unique:
-                return_reverse = False
-            else:
-                return_reverse = int(f_score[i]) < int(f_score[n + i])
-
-            read.is_graph_reverse_strand = (
-                read.is_reverse_strand != return_reverse)
-            if return_reverse:
+            if return_reverse[i]:
                 chosen = rev_bases[i]
                 read.bases = chosen
                 read.quals = read.quals[::-1]
-                unique = rev_unique
+                read.is_graph_reverse_strand = not read.is_reverse_strand
             else:
                 chosen = fwd_bases[i]
-                unique = fwd_unique
+                read.is_graph_reverse_strand = read.is_reverse_strand
             chosen_list.append(chosen)
-            unique_list.append(unique)
-            # device end cell (fwd-graph coordinates) of the chosen
-            # orientation: row i is the fwd read, row n+i its revcomp
-            if f_ends is not None:
-                idx = n + i if return_reverse else i
-                ends_list.append((int(f_ends[0][idx]), int(f_ends[1][idx]),
-                                  int(f_ends[2][idx]),
-                                  int(f_score[idx])))
-            else:
-                ends_list.append(None)
 
         # exact traceback on the chosen orientation only — banded around
         # the device-reported end cell when available (score-verified,
         # falls back to full width on any mismatch). Non-unique reads
         # skip traceback entirely when the caller guarantees the filter
         # chain drops them unseen (trace_uniq_only).
-        skip = [trace_uniq_only and not u for u in unique_list]
-
-        def trace_one(eng, k):
-            if skip[k]:
-                e = ends_list[k]
-                return (e[3] if e else 0, 0, "")
-            e = ends_list[k]
-            if eng is not None:
-                if e is not None:
-                    return eng.align_at(chosen_list[k], e[0], e[1], e[2],
-                                        e[3])
-                score, pos, _multi, cigar = eng.align(chosen_list[k])
-                return score, pos, cigar
-            return self._trace(chosen_list[k])
-
-        # the native C++ engine releases the GIL, so fan out over threads
-        if self._fwd_native is not None and len(reads) > 64:
-            import concurrent.futures
-
-            from .native import NativeGraphSW
-
-            workers = min(resolve_threads(self.threads), 32)
-            engines = [self._fwd_native] + [
-                NativeGraphSW(self._fwd_native.graph)
-                for _ in range(workers - 1)
-            ]
-
-            def trace_chunk(args):
-                widx, idxs = args
-                eng = engines[widx]
-                return [trace_one(eng, k) for k in idxs]
-
-            chunks = [(w, list(range(w, len(reads), workers)))
-                      for w in range(workers)]
-            with concurrent.futures.ThreadPoolExecutor(workers) as ex:
-                chunk_results = list(ex.map(trace_chunk, chunks))
-            traces = [None] * len(reads)
-            for (w, idxs), res in zip(chunks, chunk_results):
-                for k, r in zip(idxs, res):
-                    traces[k] = r
+        if trace_uniq_only:
+            trace_idx = np.nonzero(unique_arr)[0]
         else:
-            traces = [trace_one(self._fwd_native, k)
-                      for k in range(len(reads))]
+            trace_idx = np.arange(n)
 
-        for read, unique, (score, pos, cigar) in zip(
-                reads, unique_list, traces):
+        traces = [(int(chosen_scores[i]), 0, "") for i in range(n)]
+        if len(trace_idx):
+            if self._fwd_native is not None and f_ends is not None:
+                # one native call for the whole batch; the per-read work
+                # fans out over native threads (GIL released inside)
+                en = np.asarray(f_ends[0])[chosen_idx[trace_idx]]
+                er = np.asarray(f_ends[1])[chosen_idx[trace_idx]]
+                erd = np.asarray(f_ends[2])[chosen_idx[trace_idx]]
+                es = chosen_scores[trace_idx]
+                sc, pos, cig = self._fwd_native.align_at_batch(
+                    [chosen_list[k] for k in trace_idx], en, er, erd, es,
+                    n_threads=min(resolve_threads(self.threads), 16))
+                for j, k in enumerate(trace_idx):
+                    traces[k] = (sc[j], pos[j], cig[j])
+            else:
+                for k in trace_idx:
+                    if self._fwd_native is not None:
+                        score, pos, _multi, cigar = self._fwd_native.align(
+                            chosen_list[k])
+                        traces[k] = (score, pos, cigar)
+                    else:
+                        traces[k] = self._trace(chosen_list[k])
+
+        for i, read in enumerate(reads):
+            score, pos, cigar = traces[i]
             read.graph_pos = pos
             read.graph_alignment_score = score
-            read.is_graph_alignment_unique = unique
-            read.graph_mapq = 60 if unique else 0
+            read.is_graph_alignment_unique = bool(unique_arr[i])
+            read.graph_mapq = 60 if unique_arr[i] else 0
             read.graph_cigar = cigar

@@ -61,6 +61,15 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.c_char_p, ctypes.c_int]
+            lib.gsw_align_at_batch.restype = ctypes.c_int
+            lib.gsw_align_at_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_char_p, ctypes.c_int]
             lib.bam_scan.restype = ctypes.c_int
             lib.bam_scan.argtypes = [
                 ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
@@ -137,6 +146,53 @@ class NativeGraphSW:
         self._lib.gsw_score(self._ctx, rb, len(rb), ctypes.byref(score),
                             ctypes.byref(multi))
         return score.value, bool(multi.value)
+
+    def align_at_batch(self, reads, end_nodes, end_refs, end_reads,
+                       expected_scores, n_threads: int = 1,
+                       cigar_stride: int = 2048):
+        """Banded fill + traceback for a whole read batch in ONE native
+        call (per-read work fans out over n_threads inside the library,
+        GIL released). Returns (scores, positions, cigars) lists; any
+        read the band missed (score mismatch / stuck walk) transparently
+        falls back to the exact full-width align()."""
+        import numpy as np
+
+        n = len(reads)
+        if n == 0:
+            return [], [], []
+        concat = "".join(reads).encode()
+        lens = np.fromiter((len(r) for r in reads), np.int64, count=n)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        en = np.ascontiguousarray(end_nodes, np.int32)
+        er = np.ascontiguousarray(end_refs, np.int32)
+        erd = np.ascontiguousarray(end_reads, np.int32)
+        es = np.ascontiguousarray(expected_scores, np.int32)
+        rcs = np.zeros(n, np.int32)
+        scores = np.zeros(n, np.int32)
+        positions = np.zeros(n, np.int32)
+        buf = ctypes.create_string_buffer(n * cigar_stride)
+        ip = ctypes.POINTER(ctypes.c_int)
+        self._lib.gsw_align_at_batch(
+            self._ctx, concat,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            en.ctypes.data_as(ip), er.ctypes.data_as(ip),
+            erd.ctypes.data_as(ip), es.ctypes.data_as(ip),
+            int(n_threads), rcs.ctypes.data_as(ip),
+            scores.ctypes.data_as(ip), positions.ctypes.data_as(ip),
+            buf, cigar_stride)
+        out_scores = scores.tolist()
+        out_pos = positions.tolist()
+        cigars = [""] * n
+        raw = buf.raw
+        for i in range(n):
+            if rcs[i] == 0:
+                s = i * cigar_stride
+                cigars[i] = raw[s:raw.index(b"\0", s)].decode()
+            else:
+                sc, p, _multi, cig = self.align(reads[i])
+                out_scores[i], out_pos[i], cigars[i] = sc, p, cig
+        return out_scores, out_pos, cigars
 
     def align_at(self, read: str, end_node: int, end_ref: int,
                  end_read: int, expected_score: int):
