@@ -73,26 +73,15 @@ class GraphArrays:
         against everything; they cannot affect scores, end cells, or (for
         nonzero alignments) the uniqueness count.
         """
-        codes = []
-        col_node = []
-        col_in_node = []
-        is_start = []
-        is_last = []
         n_real = graph.num_nodes
-        max_pred = max(
-            (len(graph.predecessors(i)) for i in range(n_real)), default=1)
-        max_pred = max(max_pred, 1)
-        for nid in range(n_real):
-            seq = graph.node_seq(nid).upper()
-            if not seq:
-                raise ValueError(f"empty node sequence for node {nid}")
-            for off, ch in enumerate(seq):
-                codes.append(_NT[ord(ch)])
-                col_node.append(nid)
-                col_in_node.append(off)
-                is_start.append(off == 0)
-                is_last.append(off == len(seq) - 1)
-        l_real = len(codes)
+        seqs = [graph.node_seq(nid).upper() for nid in range(n_real)]
+        lens = np.fromiter((len(s) for s in seqs), np.int64, count=n_real)
+        if n_real and int(lens.min()) == 0:
+            raise ValueError(
+                f"empty node sequence for node {int(lens.argmin())}")
+        preds = [graph.predecessors(i) for i in range(n_real)]
+        max_pred = max((len(p) for p in preds), default=1) or 1
+        l_real = int(lens.sum())
 
         if bucket:
             n_bucket = -((n_real + 1) // -4) * 4
@@ -106,30 +95,41 @@ class GraphArrays:
             l_bucket = l_real
 
         pred_table = np.full((n_bucket, p_bucket), n_bucket, dtype=np.int32)
-        for nid in range(n_real):
-            for p_i, p in enumerate(graph.predecessors(nid)):
-                pred_table[nid, p_i] = p
+        for nid, plist in enumerate(preds):
+            pred_table[nid, :len(plist)] = plist
 
         # fake filler nodes: first n_fake-1 are single columns, the last
         # absorbs the remaining padding
         if n_fake:
             pad_cols = l_bucket - l_real
-            sizes = [1] * (n_fake - 1) + [pad_cols - (n_fake - 1)]
-            for k, size in enumerate(sizes):
-                nid = n_real + k
-                for off in range(size):
-                    codes.append(4)  # 'N' class, score 0 vs everything
-                    col_node.append(nid)
-                    col_in_node.append(off)
-                    is_start.append(off == 0)
-                    is_last.append(off == size - 1)
+            fake_lens = [1] * (n_fake - 1) + [pad_cols - (n_fake - 1)]
+            all_lens = np.concatenate([lens, fake_lens]).astype(np.int64)
+        else:
+            all_lens = lens
+
+        # vectorized column-stream construction (this runs per event on
+        # the dispatch critical path)
+        L = int(all_lens.sum())
+        col_node = np.repeat(
+            np.arange(len(all_lens), dtype=np.int32), all_lens)
+        starts = np.zeros(len(all_lens), np.int64)
+        np.cumsum(all_lens[:-1], out=starts[1:])
+        col_in_node = (np.arange(L, dtype=np.int64)
+                       - starts[col_node]).astype(np.int32)
+        is_start = col_in_node == 0
+        is_last = np.zeros(L, bool)
+        is_last[np.cumsum(all_lens) - 1] = True
+        ref_codes = np.full(L, 4, np.int32)  # fake cols: 'N' class
+        if l_real:
+            data = np.frombuffer("".join(seqs).encode(), np.uint8)
+            ref_codes[:l_real] = _NT[data]
 
         return cls(
-            ref_codes=np.asarray(codes, dtype=np.int32),
-            col_node=np.asarray(col_node, dtype=np.int32),
-            col_in_node=np.asarray(col_in_node, dtype=np.int32),
-            is_start=np.asarray(is_start, dtype=bool),
-            is_last=np.asarray(is_last, dtype=bool),
+            ref_codes=ref_codes,
+            col_node=col_node,
+            col_in_node=col_in_node,
+            is_start=is_start,
+            is_last=is_last,
             pred_table=pred_table,
             num_nodes=n_bucket,
         )

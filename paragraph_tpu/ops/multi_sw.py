@@ -86,46 +86,38 @@ class MultiGraphArrays:
         self.per_event = arrays
         self.n_max = max(n_max, max(a.num_nodes for a in arrays))
         self.p_max = max(p_max, max(a.pred_table.shape[1] for a in arrays))
-        self.col_start = []
-        ref_codes = []
-        col_node = []
-        col_in_node = []
-        is_start = []
-        is_last = []
-        pred_tables = []
-        for a in arrays:
-            self.col_start.append(len(ref_codes))
-            ref_codes.extend(a.ref_codes.tolist())
-            col_node.extend(a.col_node.tolist())
-            col_in_node.extend(a.col_in_node.tolist())
-            is_start.extend(a.is_start.astype(np.int32).tolist())
-            is_last.extend(a.is_last.astype(np.int32).tolist())
-            pt = np.full((self.n_max, self.p_max), a.num_nodes, np.int32)
-            pt[:a.pred_table.shape[0], :a.pred_table.shape[1]] = \
-                a.pred_table
-            # remap each event's zero-state slot to the shared N_max slot
-            pt[pt == a.num_nodes] = self.n_max
-            pred_tables.append(pt)
         self.col_len = [len(a.ref_codes) for a in arrays]
-        # pad column stream to a bucketed length for compile reuse
-        l_bucket = max(_bucket(max(1, len(ref_codes)), 1024), l_to)
-        pad = l_bucket - len(ref_codes)
-        ref_codes.extend([4] * pad)
-        col_node.extend([0] * pad)
-        col_in_node.extend([0] * pad)
-        is_start.extend([0] * pad)
-        is_last.extend([0] * pad)
-        # pad the event axis with all-zero-state predecessor tables so
+        ends = np.cumsum([0] + self.col_len)
+        self.col_start = ends[:-1].tolist()
+        l_real = int(ends[-1])
+        # pad column stream to a bucketed length for compile reuse; pad
+        # the event axis with all-zero-state predecessor tables so
         # pred_tables keeps one shape regardless of chunk occupancy
-        for _ in range(len(arrays), e_to):
-            pred_tables.append(
-                np.full((self.n_max, self.p_max), self.n_max, np.int32))
-        self.ref_codes = np.asarray(ref_codes, np.int32)
-        self.col_node = np.asarray(col_node, np.int32)
-        self.col_in_node = np.asarray(col_in_node, np.int32)
-        self.is_start = np.asarray(is_start, np.int32)
-        self.is_last = np.asarray(is_last, np.int32)
-        self.pred_tables = np.stack(pred_tables)  # [E, N_max, P_max]
+        l_bucket = max(_bucket(max(1, l_real), 1024), l_to)
+        e_total = max(len(arrays), e_to)
+
+        def cat(parts, dtype, pad_val):
+            out = np.full(l_bucket, pad_val, dtype)
+            out[:l_real] = np.concatenate(parts)
+            return out
+
+        self.ref_codes = cat([a.ref_codes for a in arrays], np.int32, 4)
+        self.col_node = cat([a.col_node for a in arrays], np.int32, 0)
+        self.col_in_node = cat(
+            [a.col_in_node for a in arrays], np.int32, 0)
+        self.is_start = cat(
+            [a.is_start.astype(np.int32) for a in arrays], np.int32, 0)
+        self.is_last = cat(
+            [a.is_last.astype(np.int32) for a in arrays], np.int32, 0)
+        pred_tables = np.full((e_total, self.n_max, self.p_max),
+                              self.n_max, np.int32)
+        for e, a in enumerate(arrays):
+            pt = a.pred_table
+            block = pred_tables[e, :pt.shape[0], :pt.shape[1]]
+            np.copyto(block, pt)
+            # remap each event's zero-state slot to the shared N_max slot
+            block[pt == a.num_nodes] = self.n_max
+        self.pred_tables = pred_tables  # [E, N_max, P_max]
 
 
 def _make_kernel(L: int, L_ev: int, N: int, P: int, M: int, TB: int,
