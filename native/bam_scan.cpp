@@ -108,4 +108,64 @@ int bam_scan(const uint8_t* buf, int64_t buf_len, int64_t start,
   return n_out;
 }
 
+// Bulk record decode: for each record offset (as returned by bam_scan),
+// write the fixed fields into ints[8*i..] = {refid, pos, mapq, flag,
+// next_refid, next_pos, tlen, l_seq} and the variable fields (name,
+// bases as ASCII, quals as phred+33 chars) concatenated into text_buf.
+// text_offs[3*i+0/1/2] = end offsets of name/bases/quals for record i
+// (text_offs[-1] conceptually 0; caller passes an array of 3n and uses
+// prev record's quals end as the start). Returns total bytes written to
+// text_buf, or -1 if text_cap would be exceeded.
+int64_t bam_decode_batch(const uint8_t* buf, const int64_t* offs, int n,
+                         int32_t* ints, uint8_t* text_buf, int64_t text_cap,
+                         int64_t* text_offs) {
+  static const char kSeqCodes[17] = "=ACMGRSVTWYHKDBN";
+  int64_t w = 0;
+  for (int i = 0; i < n; ++i) {
+    const uint8_t* rec = buf + offs[i] + 4;
+    const int32_t refid = rd_i32(rec);
+    const int32_t pos = rd_i32(rec + 4);
+    const int l_read_name = rec[8];
+    const int mapq = rec[9];
+    const int n_cigar = rd_u16(rec + 12);
+    const int flag = rd_u16(rec + 14);
+    const int32_t l_seq = rd_i32(rec + 16);
+    const int32_t next_refid = rd_i32(rec + 20);
+    const int32_t next_pos = rd_i32(rec + 24);
+    const int32_t tlen = rd_i32(rec + 28);
+    int32_t* f = ints + 8 * (size_t)i;
+    f[0] = refid; f[1] = pos; f[2] = mapq; f[3] = flag;
+    f[4] = next_refid; f[5] = next_pos; f[6] = tlen; f[7] = l_seq;
+    const int64_t need = (l_read_name - 1) + 2 * (int64_t)l_seq;
+    if (w + need > text_cap) return -1;
+    // name (drop trailing NUL)
+    memcpy(text_buf + w, rec + 32, (size_t)(l_read_name - 1));
+    w += l_read_name - 1;
+    text_offs[3 * (size_t)i] = w;
+    // bases: 4-bit codes -> ASCII
+    const uint8_t* seq = rec + 32 + l_read_name + 4 * (size_t)n_cigar;
+    uint8_t* out = text_buf + w;
+    for (int32_t j = 0; j < l_seq; ++j) {
+      const uint8_t b = seq[j >> 1];
+      out[j] = (uint8_t)kSeqCodes[(j & 1) ? (b & 0xF) : (b >> 4)];
+    }
+    w += l_seq;
+    text_offs[3 * (size_t)i + 1] = w;
+    // quals: phred -> printable; 0xFF sentinel row -> '#'
+    const uint8_t* q = seq + (l_seq + 1) / 2;
+    out = text_buf + w;
+    if (l_seq > 0 && q[0] == 0xFF) {
+      memset(out, '#', (size_t)l_seq);
+    } else {
+      for (int32_t j = 0; j < l_seq; ++j) {
+        const int v = q[j] + 33;
+        out[j] = (uint8_t)(v > 255 ? 255 : v);
+      }
+    }
+    w += l_seq;
+    text_offs[3 * (size_t)i + 2] = w;
+  }
+  return w;
+}
+
 }  // extern "C"

@@ -77,6 +77,13 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int)]
+            lib.bam_decode_batch.restype = ctypes.c_int64
+            lib.bam_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
             _lib = lib
             return _lib
         except (OSError, subprocess.CalledProcessError):

@@ -353,6 +353,107 @@ class BamReader:
                     break  # done, or no more bytes for a spanning record
                 # state == 0: mid-record, append the next block
 
+    def fetch_columns(self, tid: int, beg: int, end: int,
+                      primary_only: bool = True):
+        """Columnar fetch: the record walk, prefix filter AND field
+        decode all run in C (bam_scan + bam_decode_batch); Python gets
+        numpy arrays + one text blob. Returns None when the native
+        runtime library is unavailable (callers fall back to fetch()).
+
+        Result dict: ints [n, 8] int32 (refid, pos, mapq, flag,
+        mate_refid, mate_pos, tlen, l_seq), text (bytes), offs [n, 3]
+        int64 end-offsets of name/bases/quals per record within text.
+        Records appear in fetch() order; CIGARs are not decoded (the
+        extraction hot path never needs them — reference Read model,
+        BamReader.cpp:84-107 decodeHtsAlign keeps no linear CIGAR)."""
+        lib = _native_scan_lib()
+        if lib is None:
+            return None
+        import ctypes
+
+        import numpy as np
+
+        exclude = (FLAG_SECONDARY | FLAG_SUPPLEMENTARY) if primary_only \
+            else 0
+        cap = 8192
+        out_off = (ctypes.c_int64 * cap)()
+        consumed = ctypes.c_int64()
+        state = ctypes.c_int()
+        bgzf = self._bgzf
+        ints_parts = []
+        text_parts = []
+        offs_parts = []
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+
+        def decode_batch(buf, offsets_arr, n):
+            ints = np.empty((n, 8), np.int32)
+            offs = np.empty((n, 3), np.int64)
+            # decoded text per record = (name-1) + 2*l_seq; each record's
+            # block carries ceil(l_seq/2) packed bases + l_seq quals, so
+            # 2*block_size safely bounds the decoded size
+            tcap = 16
+            for k in range(n):
+                off = offsets_arr[k]
+                tcap += 2 * struct.unpack_from("<i", buf, off)[0]
+            text = ctypes.create_string_buffer(max(1, tcap))
+            cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
+            w = lib.bam_decode_batch(
+                cbuf, offsets_arr, n,
+                ints.ctypes.data_as(i32p), text, tcap,
+                offs.ctypes.data_as(i64p))
+            del cbuf
+            assert w >= 0
+            ints_parts.append(ints)
+            text_parts.append(text.raw[:w])
+            offs_parts.append(offs)
+
+        for cbeg, cend in self._index.chunks_for_region(tid, beg, end):
+            buf = bytearray()
+            coffset = cbeg >> 16
+            start = cbeg & 0xFFFF
+            cend_coffset, cend_uoffset = cend >> 16, cend & 0xFFFF
+            stop_off = -1
+            eof = False
+            while True:
+                if not eof:
+                    base = len(buf)
+                    data, coffset_next = bgzf.block_at(coffset)
+                    if data:
+                        buf += data
+                        if coffset == cend_coffset:
+                            stop_off = base + cend_uoffset
+                        coffset = coffset_next
+                    else:
+                        eof = True
+                while True:
+                    cbuf = (ctypes.c_char * len(buf)).from_buffer(buf) \
+                        if buf else (ctypes.c_char * 1)()
+                    n = lib.bam_scan(
+                        cbuf, len(buf), start, stop_off, tid, beg, end,
+                        exclude, out_off, cap, ctypes.byref(consumed),
+                        ctypes.byref(state))
+                    del cbuf
+                    if n:
+                        decode_batch(buf, out_off, n)
+                    start = consumed.value
+                    if state.value != 2:
+                        break
+                if state.value == 1 or eof:
+                    break
+
+        if not ints_parts:
+            return {"ints": np.empty((0, 8), np.int32), "text": b"",
+                    "offs": np.empty((0, 3), np.int64)}
+        # rebase per-part text offsets onto the concatenated blob
+        sizes = [len(t) for t in text_parts]
+        bases_off = np.cumsum([0] + sizes[:-1])
+        for arr, b in zip(offs_parts, bases_off):
+            arr += b
+        return {"ints": np.concatenate(ints_parts),
+                "text": b"".join(text_parts),
+                "offs": np.concatenate(offs_parts)}
+
     def fetch_region(self, region_str: str, primary_only: bool = True):
         from .regions import parse_region
 

@@ -59,6 +59,53 @@ def is_read_or_mate_in_region(read: Read, region: Region) -> bool:
     return True
 
 
+def _columns_to_pairs(cols, region: Region, read_pairs: "ReadPairs"):
+    """Vectorized region filter + Read construction from a columnar
+    fetch (io/bam.py fetch_columns): the is_read_or_mate_in_region
+    predicate evaluates over numpy arrays and only surviving records
+    become Python objects. Returns (total_read_length, n_with_bases)."""
+    import numpy as np
+
+    ints = cols["ints"]
+    if not len(ints):
+        return 0, 0
+    chrom = ints[:, 0]
+    pos = ints[:, 1]
+    mchrom = ints[:, 4]
+    mpos = ints[:, 5]
+    l_seq = ints[:, 7]
+    in_self = ~((pos > region.end) | (pos + l_seq < region.start))
+    in_mate = ((chrom == mchrom)
+               & ~((mpos > region.end) | (mpos + l_seq < region.start)))
+    keep = np.nonzero(in_self | in_mate)[0]
+
+    text = cols["text"]
+    offs = cols["offs"]
+    for i in keep:
+        f = ints[i]
+        flag = int(f[3])
+        name_end, bases_end, quals_end = (int(x) for x in offs[i])
+        # offsets are ends; the record's name starts at the previous
+        # record's quals end
+        name_start = int(offs[i - 1, 2]) if i else 0
+        read_pairs.add(Read(
+            fragment_id=text[name_start:name_end].decode(),
+            bases=text[name_end:bases_end].decode(),
+            quals=text[bases_end:quals_end].decode(),
+            is_mapped=(flag & 0x4) == 0,
+            is_first_mate=(flag & 0x40) != 0,
+            is_mate_mapped=(flag & 0x8) == 0,
+            is_reverse_strand=(flag & 0x10) != 0,
+            is_mate_reverse_strand=(flag & 0x20) != 0,
+            chrom_id=int(f[0]),
+            pos=int(f[1]),
+            mapq=int(f[2]),
+            mate_chrom_id=int(f[4]),
+            mate_pos=int(f[5]),
+        ))
+    return int(l_seq.sum()), int((l_seq > 0).sum())
+
+
 def extract_reads_from_region(
         all_reads: List[Read], max_num_reads: int, reader: BamReader,
         region: Region, longest_alt_insertion: int,
@@ -74,15 +121,26 @@ def extract_reads_from_region(
     n_with_bases = 0
     # NB the reference's Region carries 1-based coordinates into
     # sam_itr_querys; record positions below are 0-based as decoded
-    for rec in reader.fetch(tid, max(0, extended.start - 1), extended.end):
-        if read_pairs.num_reads == max_num_reads:
-            break
-        if rec.bases:
-            total_read_length += len(rec.bases)
-            n_with_bases += 1
-        read = Read.from_bam_record(rec)
-        if is_read_or_mate_in_region(read, region):
-            read_pairs.add(read)
+    cols = None
+    fetch_columns = getattr(reader, "fetch_columns", None)
+    if fetch_columns is not None:
+        cols = fetch_columns(tid, max(0, extended.start - 1), extended.end)
+    if cols is not None and len(cols["ints"]) < max_num_reads:
+        # fast columnar path (C-side decode); the record count bounds
+        # num_reads so the cap cannot trip mid-stream
+        total_read_length, n_with_bases = _columns_to_pairs(
+            cols, region, read_pairs)
+    else:
+        for rec in reader.fetch(tid, max(0, extended.start - 1),
+                                extended.end):
+            if read_pairs.num_reads == max_num_reads:
+                break
+            if rec.bases:
+                total_read_length += len(rec.bases)
+                n_with_bases += 1
+            read = Read.from_bam_record(rec)
+            if is_read_or_mate_in_region(read, region):
+                read_pairs.add(read)
     read_length = total_read_length // n_with_bases if n_with_bases else 0
 
     if (read_pairs.num_reads == max_num_reads

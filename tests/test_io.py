@@ -104,3 +104,27 @@ def test_fasta_reference_expectations():
     assert f.query("chrT:50-200") == (
         "TTCAGTGTTCTTTTTACTTAAGCCTTCTTTCTGGTACGTATGAGGTGTGCTGTCATACGT"
         "ATGTCGTTATTTCTCTTTTCAGATTAGTCATGTCCCTAATT")
+
+
+def test_fetch_columns_parity():
+    """Columnar C decode must match the record-by-record fetch exactly
+    (fields, names, bases, quals, order) on every query window."""
+    bam = BamReader(os.path.join(RT, "sample1.bam"))
+    for beg, end in ((0, 400), (0, 500), (160, 162), (490, 500)):
+        recs = list(bam.fetch(0, beg, end))
+        cols = bam.fetch_columns(0, beg, end)
+        if cols is None:  # native lib unavailable: nothing to compare
+            return
+        ints, text, offs = cols["ints"], cols["text"], cols["offs"]
+        assert len(ints) == len(recs)
+        for i, r in enumerate(recs):
+            refid, pos, mapq, flag, mrefid, mpos, tlen, l_seq = (
+                int(x) for x in ints[i])
+            assert (refid, pos, mapq, flag, mrefid, mpos, tlen) == (
+                r.chrom_id, r.pos, r.mapq, r.flag, r.mate_chrom_id,
+                r.mate_pos, r.tlen)
+            name_start = int(offs[i - 1, 2]) if i else 0
+            ne, be, qe = (int(x) for x in offs[i])
+            assert text[name_start:ne].decode() == r.fragment_id
+            assert text[ne:be].decode() == r.bases
+            assert text[be:qe].decode() == r.quals
