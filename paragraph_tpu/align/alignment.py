@@ -24,40 +24,55 @@ class NodeAlignment:
     reference_start: int
     ops: List[Tuple[int, str]]
 
+    # the host analysis stages (filters, disambiguation, counting,
+    # statistics) each read several count properties per node; one pass
+    # over ops fills all six counters and is cached until ops changes
+    def _counts(self) -> dict:
+        memo = getattr(self, "_counts_memo", None)
+        if memo is not None and memo[0] is self.ops:
+            return memo[1]
+        c = {"M": 0, "X": 0, "N": 0, "S": 0, "I": 0, "D": 0}
+        for l, t in self.ops:
+            c[t] += l
+        self._counts_memo = (self.ops, c)
+        return c
+
     def _count(self, op: str) -> int:
-        return sum(l for l, t in self.ops if t == op)
+        return self._counts()[op]
 
     @property
     def num_matched(self) -> int:
-        return self._count("M")
+        return self._counts()["M"]
 
     @property
     def num_mismatched(self) -> int:
-        return self._count("X")
+        return self._counts()["X"]
 
     @property
     def num_missing(self) -> int:
-        return self._count("N")
+        return self._counts()["N"]
 
     @property
     def num_clipped(self) -> int:
-        return self._count("S")
+        return self._counts()["S"]
 
     @property
     def num_inserted(self) -> int:
-        return self._count("I")
+        return self._counts()["I"]
 
     @property
     def num_deleted(self) -> int:
-        return self._count("D")
+        return self._counts()["D"]
 
     @property
     def query_length(self) -> int:
-        return sum(l for l, t in self.ops if t in _QUERY_OPS)
+        c = self._counts()
+        return c["M"] + c["X"] + c["N"] + c["I"] + c["S"]
 
     @property
     def reference_length(self) -> int:
-        return sum(l for l, t in self.ops if t in _REF_OPS)
+        c = self._counts()
+        return c["M"] + c["X"] + c["N"] + c["D"]
 
     def generate_cigar(self) -> str:
         return "".join(f"{l}{t}" for l, t in self.ops)
@@ -74,11 +89,19 @@ class GraphAlignment:
 
     @property
     def query_length(self) -> int:
-        return sum(a.query_length for a in self.alignments)
+        memo = getattr(self, "_qlen_memo", None)
+        if memo is None:
+            memo = sum(a.query_length for a in self.alignments)
+            self._qlen_memo = memo
+        return memo
 
     @property
     def reference_length(self) -> int:
-        return sum(a.reference_length for a in self.alignments)
+        memo = getattr(self, "_rlen_memo", None)
+        if memo is None:
+            memo = sum(a.reference_length for a in self.alignments)
+            self._rlen_memo = memo
+        return memo
 
     def generate_cigar(self) -> str:
         return "".join(

@@ -378,6 +378,12 @@ def paired_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
     return jnp.concatenate(outs, axis=0)
 
 
+def pair_tiles(n: int, tb: int) -> int:
+    """Tiles a pair with n reads contributes under the packed layout: two
+    blocks (fwd graph, rev graph) of bucket(2n, tb) lanes each."""
+    return 2 * (_bucket(2 * n, tb) // tb) if n else 0
+
+
 def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
                       pad_to: int = 0, tiles_to: int = 0, bases_to: int = 0,
                       l_ev_floor: int = 0):
@@ -387,54 +393,73 @@ def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
     PairedGraphSW and the mesh-sharded scorer (parallel/distributed.py),
     which pads tiles_to/bases_to so every shard has identical shapes.
 
+    Lane layout packs the two orientations that walk the same graph into
+    shared tiles — [fwd | revcomp] vs the forward graph, [rev | comp] vs
+    the reversed graph — since flip/comp selection is per-lane and only
+    the event id is per-tile. Padding each pair to tile granularity
+    twice (instead of four times, one per orientation) halves the lane
+    padding for small read sets.
+
     Pairs with no reads contribute zero tiles/bases, and pad tiles carry
     clen=0 so their column loop never executes — tile padding costs only
     the per-tile scratch init, not a graph re-scan.
     """
     base_reads: List[str] = []
-    col_idx: List[int] = []
-    flip: List[int] = []
-    comp: List[int] = []
+    col_chunks: List[np.ndarray] = []
+    flip_chunks: List[np.ndarray] = []
+    comp_chunks: List[np.ndarray] = []
     tile_event: List[int] = []
     tile_col_start: List[int] = []
     tile_col_len: List[int] = []
     layout = []  # (block_offsets[4], n) per pair
+    lane_count = 0
     max_len = 1
     for j, reads in enumerate(reads_per_pair):
         n = len(reads)
         if n == 0:
             layout.append(([0, 0, 0, 0], 0))
             continue
-        n_pad = _bucket(n, tb)
         base_off = len(base_reads)
         base_reads.extend(reads)
-        base_reads.extend(["A"] * (n_pad - n))
         max_len = max(max_len, max(len(r) for r in reads))
+        lanes = _bucket(2 * n, tb)
+        idx = np.arange(base_off, base_off + n, dtype=np.int32)
+        lane_cols = np.concatenate(
+            [idx, idx, np.full(lanes - 2 * n, base_off, np.int32)])
         offsets = []
-        # block order: fwd, revcomp (fwd graph) | rev, comp (rev graph)
-        for ev_local, fl, cp in ((2 * j, 0, 0), (2 * j, 1, 1),
-                                 (2 * j + 1, 1, 0), (2 * j + 1, 0, 1)):
-            offsets.append(len(col_idx))
-            col_idx.extend(range(base_off, base_off + n_pad))
-            flip.extend([fl] * n_pad)
-            comp.extend([cp] * n_pad)
-            for _ in range(n_pad // tb):
-                tile_event.append(ev_local)
-                tile_col_start.append(a.col_start[ev_local])
-                tile_col_len.append(a.col_len[ev_local])
+        # per-pair blocks: [fwd | revcomp] vs fwd graph, then
+        # [rev | comp] vs rev graph; offsets = [o_f, o_rc, o_rev, o_cp]
+        for ev_local, (f0, c0), (f1, c1) in (
+                (2 * j, (0, 0), (1, 1)), (2 * j + 1, (1, 0), (0, 1))):
+            offsets.append(lane_count)
+            offsets.append(lane_count + n)
+            col_chunks.append(lane_cols)
+            fl = np.zeros(lanes, np.int8)
+            cp = np.zeros(lanes, np.int8)
+            fl[:n] = f0
+            fl[n:2 * n] = f1
+            cp[:n] = c0
+            cp[n:2 * n] = c1
+            flip_chunks.append(fl)
+            comp_chunks.append(cp)
+            tile_event.extend([ev_local] * (lanes // tb))
+            tile_col_start.extend([a.col_start[ev_local]] * (lanes // tb))
+            tile_col_len.extend([a.col_len[ev_local]] * (lanes // tb))
+            lane_count += lanes
         layout.append((offsets, n))
     # bucket tiles (pad tiles are free: clen=0 skips the column loop)
     n_tiles = len(tile_event)
     t_bucket = max(1, tiles_to)
     while t_bucket < n_tiles:
         t_bucket *= 2
-    for _ in range(t_bucket - n_tiles):
-        tile_event.append(0)
-        tile_col_start.append(0)
-        tile_col_len.append(0)
-        col_idx.extend([0] * tb)
-        flip.extend([0] * tb)
-        comp.extend([0] * tb)
+    pad_tiles = t_bucket - n_tiles
+    if pad_tiles:
+        tile_event.extend([0] * pad_tiles)
+        tile_col_start.extend([0] * pad_tiles)
+        tile_col_len.extend([0] * pad_tiles)
+        col_chunks.append(np.zeros(pad_tiles * tb, np.int32))
+        flip_chunks.append(np.zeros(pad_tiles * tb, np.int8))
+        comp_chunks.append(np.zeros(pad_tiles * tb, np.int8))
     if not base_reads:
         base_reads.append("A")
     if bases_to:
@@ -452,9 +477,9 @@ def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
         "codes_t": codes.T.astype(np.int8),
         "lens": lens[None, :].astype(np.int32),
         "vlens": vlens[None, :].astype(np.int32),
-        "col_idx": np.asarray(col_idx, np.int32),
-        "flip": np.asarray(flip, np.int8)[None, :],
-        "comp": np.asarray(comp, np.int8)[None, :],
+        "col_idx": np.concatenate(col_chunks),
+        "flip": np.concatenate(flip_chunks)[None, :],
+        "comp": np.concatenate(comp_chunks)[None, :],
         "l_ev": l_ev,
         "m": codes.shape[1],
         "layout": layout,
@@ -561,8 +586,7 @@ class PairedGraphSW:
         # tile/base budgets: fixed floor, pow2 growth for oversize read
         # sets — at most a handful of distinct compiled shapes ever.
         # Interpret mode has no compile cost, so no floor there.
-        tiles_raw = sum(4 * (_bucket(len(r), tb) // tb)
-                        for r in reads_per_pair if r)
+        tiles_raw = sum(pair_tiles(len(r), tb) for r in reads_per_pair)
         t_floor = 1 if self.interpret else TILE_BUDGET
         tiles_to = _pow2_at_least(tiles_raw, t_floor)
         bases_to = tiles_to * tb // 4

@@ -33,8 +33,8 @@ from ..ops.batched_sw import GraphArrays
 from ..ops.multi_sw import (DEFAULT_TB, L_EV_FLOOR, M_FLOOR, PAIR_BUDGET,
                             TILE_BUDGET, MultiGraphArrays, PairedGraphSW,
                             _auto_interpret, _bucket, _pow2_at_least,
-                            build_pair_tables, paired_pallas_fill,
-                            slice_pair_outputs)
+                            build_pair_tables, pair_tiles,
+                            paired_pallas_fill, slice_pair_outputs)
 
 
 def make_event_mesh(n_devices: Optional[int] = None,
@@ -211,8 +211,7 @@ class ShardedPairedSW:
             # pad tiles carry clen=0, so every shard — filler shards
             # included — pads to one shape at negligible cost
             tiles_raw = max(
-                (sum(4 * (_bucket(len(r), tb) // tb)
-                     for r in slot_reads(k, s) if r)
+                (sum(pair_tiles(len(r), tb) for r in slot_reads(k, s))
                  for k, s in enumerate(slot_ids)), default=0)
             t_floor = 1 if self.interpret else TILE_BUDGET
             tiles_to = _pow2_at_least(tiles_raw, t_floor)

@@ -207,9 +207,11 @@ def load_graph_description(options: MultigrmpyOptions):
         writer.close()
 
         variants_json = os.path.join(options.output, "variants.json.gz")
-        with gzip.open(variants_json, "wt") as f:
-            json.dump(event_list, f, sort_keys=True, indent=4,
-                      separators=(",", ": "))
+        with gzip.open(variants_json, "wt", compresslevel=6) as f:
+            # compact dump: the C encoder is ~8x the indented Python
+            # encoder, and this file is parsed, not read, downstream
+            f.write(json.dumps(event_list, sort_keys=True,
+                               separators=(",", ":")))
     elif ext in (".json", ".json.gz"):
         opener = gzip.open if ext.endswith(".gz") else open
         with opener(options.input, "rt") as f:
@@ -283,8 +285,8 @@ def run(options: MultigrmpyOptions) -> dict:
                 raise type(exc)(f"genotypes record {i}: {exc}")
 
     genotypes_json = os.path.join(options.output, "genotypes.json.gz")
-    with gzip.open(genotypes_json, "wt") as f:
-        json.dump(results, f, sort_keys=True, indent=2)
+    with gzip.open(genotypes_json, "wt", compresslevel=6) as f:
+        f.write(json.dumps(results, sort_keys=True, separators=(",", ":")))
 
     out = {"genotypes_json": genotypes_json}
     if options.input.endswith((".vcf", ".vcf.gz", ".bcf")):
