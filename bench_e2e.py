@@ -28,10 +28,27 @@ REFERENCE_SV_PER_S = 1.0  # 1-2 s/SV on one core -> favourable end
 
 
 def check_truth(genotypes_vcf, genotypes_json, events):
+    """Score calls against the planted truth and CLASSIFY every miss.
+
+    Returns (n_ok, misses) where each miss is a dict with a `reason`:
+      - low_gq           GQ < 10 — the model itself says the call is
+                         uninformative (e.g. a DUP whose duplicated
+                         segment is shorter than the read length: no
+                         read can span it, so breakpoint evidence is
+                         intrinsically ~0; the reference genotyper has
+                         the same behaviour — CombinedGenotype.cpp:46-83
+                         reports the consensus of failed breakpoints)
+      - filtered         FT != PASS (CONFLICT / BP_NO_GT / GQ ...):
+                         the pipeline flagged the event as not
+                         confidently callable
+      - unexpected       a confident call (PASS, GQ >= 10) that
+                         disagrees with the truth — a real defect
+    """
     import gzip
 
     calls = {}
     fts = {}
+    gqs = {}
     with gzip.open(genotypes_vcf, "rt") as f:
         for line in f:
             if line.startswith("#"):
@@ -39,8 +56,24 @@ def check_truth(genotypes_vcf, genotypes_json, events):
             parts = line.rstrip("\n").split("\t")
             fmt = parts[8].split(":")
             vals = parts[9].split(":")
-            calls[int(parts[1])] = vals[fmt.index("GT")]
-            fts[int(parts[1])] = vals[fmt.index("FT")] if "FT" in fmt else ""
+            pos = int(parts[1])
+            calls[pos] = vals[fmt.index("GT")]
+            fts[pos] = vals[fmt.index("FT")] if "FT" in fmt else ""
+            gq = -1
+            if "GQ" in fmt:
+                try:
+                    gq = int(vals[fmt.index("GQ")])
+                except ValueError:
+                    pass
+            elif "PL" in fmt:
+                # derive: phred distance from the best to the runner-up GT
+                try:
+                    pls = sorted(int(x) for x in
+                                 vals[fmt.index("PL")].split(","))
+                    gq = pls[1] - pls[0]
+                except (ValueError, IndexError):
+                    pass
+            gqs[pos] = gq
     bp_gts = {}
     with gzip.open(genotypes_json, "rt") as f:
         for rec in json.load(f):
@@ -49,6 +82,7 @@ def check_truth(genotypes_vcf, genotypes_json, events):
                 for a in set(bp["counts"]["alleles"]) - {"REF"}:
                     bp_gts.setdefault(a, set()).add(bp["gt"].get("GT", "."))
     n_ok = 0
+    misses = []
     for i, ev in enumerate(events):
         got = calls.get(ev["pos"], "missing")
         want = ev["gt"]
@@ -61,8 +95,21 @@ def check_truth(genotypes_vcf, genotypes_json, events):
                        "0/0": "REF/REF"}[want]
             ok = (got == "." and "UNMATCHED" in fts.get(ev["pos"], "")
                   and bp_gts.get(allele) == {want_bp})
-        n_ok += bool(ok)
-    return n_ok
+        if ok:
+            n_ok += 1
+            continue
+        ft = fts.get(ev["pos"], "")
+        gq = gqs.get(ev["pos"], -1)
+        if ft not in ("", "PASS"):
+            reason = "filtered"
+        elif 0 <= gq < 10:
+            reason = "low_gq"
+        else:
+            reason = "unexpected"
+        misses.append({"event": i, "kind": ev["kind"], "pos": ev["pos"],
+                       "want": want, "got": got, "FT": ft, "GQ": gq,
+                       "reason": reason})
+    return n_ok, misses
 
 
 def main():
@@ -103,11 +150,12 @@ def main():
     ))
     elapsed = time.perf_counter() - t0
 
-    n_ok = check_truth(result["genotypes_vcf"], result["genotypes_json"],
-                       events)
+    n_ok, misses = check_truth(result["genotypes_vcf"],
+                               result["genotypes_json"], events)
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     rss_child = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024
     sv_per_s = len(events) / elapsed
+    n_unexpected = sum(m["reason"] == "unexpected" for m in misses)
     print(json.dumps({
         "metric": "sv_genotyping_throughput_30x",
         "value": round(sv_per_s, 2),
@@ -117,9 +165,14 @@ def main():
     print(json.dumps({
         "events": len(events), "elapsed_s": round(elapsed, 2),
         "genotype_accuracy": round(n_ok / len(events), 4),
+        "explained_accuracy": round(
+            (len(events) - n_unexpected) / len(events), 4),
+        "unexpected_misses": n_unexpected,
         "peak_rss_main_mb": round(rss_mb, 1),
         "peak_rss_worker_mb": round(rss_child, 1),
     }), file=sys.stderr)
+    for m in misses:
+        print(json.dumps({"miss": m}), file=sys.stderr)
 
 
 if __name__ == "__main__":

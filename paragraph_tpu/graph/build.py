@@ -1,15 +1,23 @@
 """VCF → sequence-graph conversion.
 
-Functional equivalent of the reference's
-``src/python/lib/grm/vcfgraph/vcfgraph.py`` (VCFGraph) and ``graphUtils.py``
-(graph passes), re-implemented without pysam / intervaltree. Every pass
-preserves the reference's node/edge insertion and iteration orders because
-downstream node ids (and hence aligner tie-breaking) depend on them.
+Covers the same capability surface as the reference's python conversion
+stack (``src/python/lib/grm/vcfgraph/vcfgraph.py`` records→intervals,
+``graphContainer.py`` construction model, ``graphUtils.py`` passes), but
+organised differently: record parsing produces a flat *allele table*
+(reference-support intervals + an alt-allele catalog), a boundary sweep
+segments the reference support, and graph assembly / simplification run
+as explicit phases over :class:`GraphContainer`.
+
+Output order contracts (node/edge insertion order, DFS topological
+order, path enumeration order) are part of the emitted JSON — node ids
+drive aligner tie-breaking — and are pinned by the golden tests
+(tests/test_vcf2paragraph_golden.py), not by code structure.
 """
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Set, Tuple
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Set, Tuple
 
 from ..io.fasta import FastaFile
 from ..io.regions import parse_region
@@ -21,580 +29,584 @@ class NoVCFRecordsException(Exception):
     pass
 
 
-_COMPLEMENT = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+_RC = str.maketrans("ACGTN", "TGCAN")
+
+#: characters allowed in explicit allele sequences
+_SEQ_OK = re.compile(r"^[ACGTNXacgtnx]*$")
 
 
 def reverse_complement(seq: str) -> str:
-    return "".join(_COMPLEMENT[x] for x in reversed(seq))
+    return seq.translate(_RC)[::-1]
 
 
-class _IntervalSet:
-    """Minimal replacement for the intervaltree operations VCFGraph uses:
-    addi / slice / split_overlaps / sorted iteration. Intervals are
-    (begin, end_exclusive, haplotypes:set); exact duplicates collapse."""
-
-    def __init__(self):
-        self._items: List[Tuple[int, int, Set[str]]] = []
-
-    def addi(self, begin: int, end: int, haplos: Set[str]):
-        for b, e, h in self._items:
-            if b == begin and e == end and h == haplos:
-                return
-        self._items.append((begin, end, set(haplos)))
-
-    def slice(self, point: int):
-        out = []
-        for b, e, h in self._items:
-            if b < point < e:
-                out.append((b, point, h))
-                out.append((point, e, h))
-            else:
-                out.append((b, e, h))
-        self._items = self._dedup(out)
-
-    @staticmethod
-    def _dedup(items):
-        seen = []
-        for it in items:
-            if not any(b == it[0] and e == it[1] and h == it[2] for b, e, h in seen):
-                seen.append(it)
-        return seen
-
-    def split_overlaps(self):
-        bounds = sorted({b for b, _, _ in self._items} | {e for _, e, _ in self._items})
-        out = []
-        for b, e, h in self._items:
-            cuts = [x for x in bounds if b < x < e]
-            prev = b
-            for c in cuts:
-                out.append((prev, c, h))
-                prev = c
-            out.append((prev, e, h))
-        self._items = self._dedup(out)
-
-    def __iter__(self):
-        return iter(self._items)
-
-    def sorted(self):
-        return sorted(self._items, key=lambda t: (t[0], t[1]))
-
-
-class AltAllele:
-    __slots__ = ("key", "start", "end", "sequence", "haplotypes")
-
-    def __init__(self, key, start, end, sequence, haplotypes):
-        self.key = key
-        self.start = start
-        self.end = end
-        self.sequence = sequence
-        self.haplotypes = haplotypes
-
-
-def generate_variant_id(record: VcfRecord, var_id_counts: Optional[dict] = None) -> str:
-    """vcfgraph.py:generate_variant_id."""
+def generate_variant_id(record: VcfRecord,
+                        var_id_counts: Optional[dict] = None) -> str:
+    """Stable per-record variant id: the VCF ID when present (must be
+    unique), else chrom:pos with a duplicate counter suffix."""
     if record.id:
-        var_id = record.id
         if var_id_counts is not None:
-            if var_id in var_id_counts:
-                raise ValueError(f"Duplicated variant ID: {var_id}")
-            var_id_counts[var_id] = 1
-    else:
-        var_id = f"{record.chrom}:{record.pos}"
-        if var_id_counts is not None:
-            var_id_counts[var_id] = var_id_counts.get(var_id, 0) + 1
-            var_id = f"{var_id}-{var_id_counts[var_id]}"
-    return var_id
+            if record.id in var_id_counts:
+                raise ValueError(f"Duplicated variant ID: {record.id}")
+            var_id_counts[record.id] = 1
+        return record.id
+    base = f"{record.chrom}:{record.pos}"
+    if var_id_counts is None:
+        return base
+    var_id_counts[base] = var_id_counts.get(base, 0) + 1
+    return f"{base}-{var_id_counts[base]}"
 
 
 def generate_allele_ids(record: VcfRecord, var_id: str):
-    return [(f"{var_id}:{n}", record.alleles[n]) for n in range(len(record.alleles))]
+    return [(f"{var_id}:{n}", record.alleles[n])
+            for n in range(len(record.alleles))]
 
 
-class VCFGraph:
-    """Reference-interval + alt-allele model of one VCF region
-    (vcfgraph.py:36-436)."""
+def _shared_prefix_len(strings) -> int:
+    """Length of the common prefix of all strings."""
+    strings = list(strings)
+    if not strings:
+        return 0
+    lo = min(strings)
+    hi = max(strings)
+    n = 0
+    for a, b in zip(lo, hi):
+        if a != b:
+            break
+        n += 1
+    return n
+
+
+@dataclass
+class AltAllele:
+    key: str
+    start: int
+    end: int
+    sequence: str
+    haplotypes: Set[str] = field(default_factory=set)
+
+
+class AlleleTable:
+    """Flat allele model of one VCF window.
+
+    Two stores: ``support`` — reference-support intervals
+    ``(begin, end_exclusive, label-set)`` — and ``alts`` — an ordered
+    catalog of alt alleles keyed by (span, sequence). ``cuts`` records
+    positions where the reference segmentation must break even if no
+    interval starts or ends there (breakpoint ends inside the window).
+    """
 
     def __init__(self, ref_file: str, chrom: str = "chr"):
-        self.ref_fasta = FastaFile(ref_file)
-        self.alts: Dict[str, AltAllele] = {}
-        self.refs = _IntervalSet()
+        self.fasta = FastaFile(ref_file)
         self.chrom = chrom
-        self.first_pos: Optional[int] = None
-        self.last_pos: Optional[int] = None
+        self.support: List[Tuple[int, int, Set[str]]] = []
+        self.alts: Dict[str, AltAllele] = {}
+        self.cuts: Set[int] = set()
+        self.window: Tuple[Optional[int], Optional[int]] = (None, None)
 
-    @staticmethod
-    def create_from_vcf(ref_file_name: str, records: List[VcfRecord],
-                        ins_info_key: str,
-                        chrom=None, start=None, end=None,
-                        padding_length: int = 150,
-                        allele_graph: bool = False) -> "VCFGraph":
-        graph = VCFGraph(ref_file_name, chrom)
-        var_id_counts: Dict[str, int] = {}
-        record_count = 0
-        for record in records:
-            if chrom is None:
-                chrom = record.chrom
-                graph.chrom = chrom
-            elif chrom != record.chrom:
-                break
-            if start is not None and record.pos < start:
-                continue
-            if end is not None and record.pos > end:
-                continue
-            if graph.first_pos is None:
-                graph.first_pos = record.pos
-            if graph.last_pos is None or graph.last_pos < record.stop:
-                graph.last_pos = record.stop
-            var_id = generate_variant_id(record, var_id_counts)
-            record_count += 1
-            graph.add_record(record, allele_graph, var_id, ins_info_key)
-        if not record_count:
-            raise NoVCFRecordsException(
-                f"No VCF records found at {chrom}:{start}-{end}")
-        graph.add_ref_support(
-            graph.first_pos - padding_length, graph.last_pos + padding_length)
-        for be in graph.alts.values():
-            if graph.first_pos <= be.end <= graph.last_pos:
-                graph.refs.slice(be.end + 1)
-            else:
-                graph.add_ref_support(be.end + 1, be.end + padding_length)
-        return graph
+    # ------------------------------------------------------------------
+    # accumulation
+    # ------------------------------------------------------------------
+
+    def add_support(self, start: int, end: int, labels=(), alleles=None):
+        """Reference support for [start, end]; when the record's alleles
+        share a leading padding base(s), that padding is supported
+        unlabelled (it belongs to every allele equally) and only the
+        distinguishing tail carries the haplotype labels."""
+        pad = _shared_prefix_len(alleles) if alleles else 0
+        if pad and start + pad > end + 1:
+            raise ValueError(
+                f"reference support [{start},{end}] shorter than the "
+                "alleles' shared padding")
+        if pad:
+            self.support.append((start, end + 1, set()))
+            if labels and start + pad <= end:
+                self.support.append((start + pad, end + 1, set(labels)))
+        else:
+            self.support.append((start, end + 1, set(labels)))
+
+    def add_alt(self, start: int, end: int, ref: str, alt: str,
+                labels=(), ref_labels=()):
+        """One alt allele vs its reference span, with shared flanking
+        bases trimmed off into plain reference support. Haplotypes typed
+        for a different allele of an insertion get a zero-length bypass
+        allele so their path skips the insert."""
+        if len(ref) != end - start + 1:
+            raise ValueError(
+                f"[{start},{end}]: REF length != span length")
+        core_start, core_end = start, end
+        while alt and ref and ref[0] == alt[0]:
+            ref, alt = ref[1:], alt[1:]
+            core_start += 1
+        if core_start > start:
+            self.add_support(start, core_start - 1)
+        while alt and ref and ref[-1] == alt[-1]:
+            ref, alt = ref[:-1], alt[:-1]
+            core_end -= 1
+        if core_end <= 0:
+            raise ValueError(f"[{start},{end}]: empty trimmed ALT span")
+        if core_start <= core_end < end:
+            self.add_support(core_end + 1, end, labels)
+        if not ref and not alt:
+            raise ValueError(f"[{start},{end}]: REF equals ALT")
+        self._catalog(core_start, core_end, alt, labels)
+        if ref_labels and core_start > core_end:
+            self._catalog(core_start, core_end, "", ref_labels)
+
+    def _catalog(self, start: int, end: int, seq: str, labels=()):
+        key = f"{start}-{end}:{seq}"
+        entry = self.alts.get(key)
+        if entry is None:
+            entry = self.alts[key] = AltAllele(key, start, end, seq)
+        entry.haplotypes.update(labels)
+
+    # ------------------------------------------------------------------
+    # record parsing
+    # ------------------------------------------------------------------
+
+    def _haplotype_alleles(self, vcf: VcfRecord, allele_graph: bool,
+                           var_id: str) -> Dict[str, str]:
+        """label → the allele sequence that label carries. In sample
+        mode labels are sample names (via their GT); in allele-graph
+        mode every allele gets its own synthetic label."""
+        if allele_graph:
+            return dict(generate_allele_ids(vcf, var_id))
+        out = {}
+        for name, vals in vcf.sample_values.items():
+            gt = re.split(r"[/|]", vals.get("GT", "."))
+            if "." not in gt:
+                out[name] = vcf.alleles[int(gt[0])]
+        return out
 
     def add_record(self, vcf: VcfRecord, allele_graph: bool, var_id: str,
                    ins_info_key: str):
-        if not allele_graph:
-            samples = {}
-            for name, vals in vcf.sample_values.items():
-                gt = vals.get("GT", ".")
-                gt_alleles = re.split(r"[/|]", gt)
-                if "." in gt_alleles:
-                    continue
-                first = int(gt_alleles[0])
-                samples[name] = vcf.alleles[first]
-        else:
-            samples = {x: y for x, y in generate_allele_ids(vcf, var_id)}
-
-        ref_samples = set(s for s in samples if samples[s] == vcf.ref)
-        self.add_ref_support(vcf.pos, vcf.stop, ref_samples, vcf.alleles)
+        carriers = self._haplotype_alleles(vcf, allele_graph, var_id)
+        ref_labels = {s for s, a in carriers.items() if a == vcf.ref}
+        self.add_support(vcf.pos, vcf.stop, ref_labels, vcf.alleles)
+        ref_seq = None
         for alt in vcf.alts or []:
-            alt_samples = set(s for s in samples if samples[s] == alt)
-            ref_sequence = self.ref_fasta.fetch(
-                self.chrom, vcf.pos - 1, vcf.stop).upper()
-            if "<" in alt:
-                if alt == "<INS>":
-                    if ins_info_key not in vcf.info:
-                        raise ValueError(
-                            f"Missing key {ins_info_key} for <INS> at "
-                            f"{self.chrom}:{vcf.pos}")
-                    ins_seq = str(vcf.info[ins_info_key]).upper()
-                    if re.search(r"[^ACGTNXacgtnx]", ins_seq):
-                        raise ValueError(
-                            f"Illegal character in INS sequence: {ins_seq}")
-                    alt_sequence = ref_sequence[0] + ins_seq
-                    self.add_alt(vcf.pos, vcf.stop, ref_sequence, alt_sequence,
-                                 alt_samples, ref_samples)
-                else:
-                    if vcf.stop == vcf.pos:
-                        raise ValueError(
-                            f"{vcf.chrom}:{vcf.pos} same END and POS in "
-                            "symbolic non-insertion (missing END?)")
-                    if alt == "<DEL>":
-                        self.add_alt(vcf.pos, vcf.stop, ref_sequence,
-                                     ref_sequence[0], alt_samples)
-                    elif alt == "<DUP>":
-                        self.add_alt(vcf.pos, vcf.pos, ref_sequence[0],
-                                     ref_sequence, alt_samples, ref_samples)
-                    elif alt == "<INV>":
-                        if len(ref_sequence) > 20000:
-                            inv_ref = (ref_sequence[1:1000]
-                                       + ref_sequence[len(ref_sequence) - 1000:])
-                        else:
-                            inv_ref = ref_sequence[1:]
-                        alt_sequence = ref_sequence[0] + reverse_complement(inv_ref)
-                        self.add_alt(vcf.pos, vcf.stop, ref_sequence,
-                                     alt_sequence, alt_samples, ref_samples)
+            labels = {s for s, a in carriers.items() if a == alt}
+            if ref_seq is None:
+                ref_seq = self.fasta.fetch(
+                    self.chrom, vcf.pos - 1, vcf.stop).upper()
+            if alt.startswith("<"):
+                self._add_symbolic(vcf, alt, ref_seq, labels, ref_labels,
+                                   ins_info_key)
             else:
-                if re.search(r"[^ACGTNXacgtnx]", alt):
-                    raise ValueError(f"Illegal character in ALT allele: {alt}")
-                if len(alt[0]) > 1 or len(ref_sequence) > 1:
-                    if alt[0].upper() != ref_sequence[0]:
-                        raise ValueError(
-                            f"Different padding base for REF and ALT at "
-                            f"{vcf.chrom}:{vcf.pos}")
-                self.add_alt(vcf.pos, vcf.stop, ref_sequence, alt,
-                             alt_samples, ref_samples)
-
-    def add_ref_support(self, start: int, end: int, haplos=(), alleles=None):
-        """vcfgraph.py:218-242 — leading shared padding is not haplotype-
-        labelled."""
-        pad = 0
-        if alleles:
-            min_len = min(len(a) for a in alleles)
-            while pad < min_len and all(alleles[0][pad] == a[pad] for a in alleles):
-                pad += 1
-            if start + pad > end + 1:
-                raise ValueError(f"{start}:{end} error in adding ref support.")
-        if pad > 0:
-            self.refs.addi(start, end + 1, set())
-            if haplos and start + pad <= end:
-                self.refs.addi(start + pad, end + 1, set(haplos))
-        else:
-            self.refs.addi(start, end + 1, set(haplos))
-
-    def get_ref_alleles(self):
-        """Non-overlapping reference pieces with merged haplotype sets
-        (vcfgraph.py:244-260)."""
-        self.refs.split_overlaps()
-        last = None
-        for b, e, h in self.refs.sorted():
-            if last is None:
-                last = (b, e, set(h))
-            elif not (b == last[0] and e == last[1]):
-                yield last
-                last = (b, e, set(h))
-            else:
-                last = (last[0], last[1], last[2] | h)
-        if last is not None:
-            yield last
-
-    def add_alt(self, start, end, ref, alt, haplos=(), other_haplos=()):
-        """vcfgraph.py:262-302 — trims shared padding, adds insertion bypass
-        alleles for haplotypes typed for another allele."""
-        if len(ref) != end - start + 1:
-            raise ValueError(f"{start}:{end} REF != END - POS + 1")
-        alt_start, alt_end = start, end
-        while alt and ref and ref[0] == alt[0]:
-            ref = ref[1:]
-            alt = alt[1:]
-            alt_start += 1
-        if alt_start > start:
-            self.add_ref_support(start, alt_start - 1)
-        while alt and ref and ref[-1] == alt[-1]:
-            ref = ref[:-1]
-            alt = alt[:-1]
-            alt_end -= 1
-        if alt_end <= 0:
-            raise ValueError(f"{start}:{end} negative or zero ALT end.")
-        if alt_start <= alt_end < end:
-            self.add_ref_support(alt_end + 1, end, haplos)
-        if not ref and not alt:
-            raise ValueError(f"{start}:{end} missing REF or ALT sequence.")
-        self._add_alt(alt_start, alt_end, alt, haplos)
-        if other_haplos and alt_start > alt_end:
-            self._add_alt(alt_start, alt_end, "", other_haplos)
-
-    def _parse_breakend(self, alt: str):
-        m = re.match(r"([ACGTNXacgtnx]+)([\[\]])([^\[\]]+)([\[\]])", alt)
-        if not m:
-            raise ValueError(f"Unsupported breakend ALT: {alt}")
-        ins_sequence = m.group(1)
-        if m.group(2) != "[" or m.group(4) != "[":
-            raise ValueError("Reverse-comp breakends are not supported.")
-        be_chrom, be_start, be_end = parse_region(m.group(3))
-        if be_end:
-            raise ValueError(f"{be_start}:{be_end} illegal breakends.")
-        if be_chrom != self.chrom:
-            raise ValueError("Breakends across chromosomes are not supported.")
-        return ins_sequence, be_start
-
-    def add_breakend(self, pos, ref_seq, end, haplos=(), ins_seq="",
-                     ref_haplos=()):
-        alt_start = pos
-        while ref_seq and ins_seq and ref_seq[0] == ins_seq[0]:
-            ref_seq = ref_seq[1:]
-            ins_seq = ins_seq[1:]
-            alt_start += 1
-        if alt_start == end - 1:
-            raise ValueError(f"{pos}:{end} illegal breakend alt start.")
-        self.add_ref_support(pos, end - 1)
-        self._add_alt(alt_start, end - 1, ins_seq, haplos)
-        self._add_alt(alt_start, alt_start - 1, "", ref_haplos)
-        self._add_alt(end, end - 1, "", ref_haplos)
-
-    def _add_alt(self, start, end, seq, haplos=()):
-        key = f"{start}-{end}:{seq}"
-        if key not in self.alts:
-            self.alts[key] = AltAllele(key, start, end, seq, set())
-        self.alts[key].haplotypes.update(haplos)
-
-    def get_haplotypes(self) -> Set[str]:
-        hs = set()
-        for a in self.alts.values():
-            hs |= a.haplotypes
-        for _, _, h in self.refs:
-            hs |= h
-        hs.discard(None)
-        return hs
-
-    def get_graph(self, allele_graph: bool = False) -> GraphContainer:
-        """Produce the paragraph node/edge representation
-        (vcfgraph.py:367-431)."""
-        graph = GraphContainer()
-        pnode = None
-        for b, e, h in self.get_ref_alleles():
-            node = graph.add_ref_node(self.chrom, b, e - 1, h)
-            if pnode:
-                if pnode["end"] + 1 != node["start"]:
+                if not _SEQ_OK.match(alt):
                     raise ValueError(
-                        f"{node['start']}:{pnode['end']} node start != prev "
-                        "node end + 1")
-                graph.add_edge(pnode, node)
-            pnode = node
-        for alt in self.alts.values():
-            graph.add_alt_node(self.chrom, alt.start, alt.end, alt.sequence,
-                               alt.haplotypes)
+                        f"Illegal character in ALT allele: {alt}")
+                if (len(alt[0]) > 1 or len(ref_seq) > 1) \
+                        and alt[0].upper() != ref_seq[0]:
+                    raise ValueError(
+                        f"REF and ALT padding bases differ at "
+                        f"{vcf.chrom}:{vcf.pos}")
+                self.add_alt(vcf.pos, vcf.stop, ref_seq, alt, labels,
+                             ref_labels)
 
-        for haplo in self.get_haplotypes():
-            nodes = graph.nodes_by_haplo(haplo)
-            pnode = None
-            for node in nodes:
-                if pnode:
-                    if pnode["end"] == node["start"] - 1:
-                        graph.add_edge(pnode, node, [haplo])
-                    pnode_is_ref_dummy = (
-                        pnode["end"] == pnode["start"] - 1
-                        and not pnode["sequence"])
-                    pnode_ends_before_node = (
-                        pnode["end"] < node["start"]
-                        and pnode["start"] < node["start"])
-                    if not pnode_is_ref_dummy and not pnode_ends_before_node:
+    def _add_symbolic(self, vcf: VcfRecord, alt: str, ref_seq: str,
+                      labels, ref_labels, ins_info_key: str):
+        if alt == "<INS>":
+            ins_seq = str(vcf.info.get(ins_info_key, "")).upper()
+            if not ins_seq:
+                raise ValueError(
+                    f"<INS> at {self.chrom}:{vcf.pos} has no "
+                    f"{ins_info_key} INFO sequence")
+            if not _SEQ_OK.match(ins_seq):
+                raise ValueError(
+                    f"Illegal character in INS sequence: {ins_seq}")
+            self.add_alt(vcf.pos, vcf.stop, ref_seq,
+                         ref_seq[0] + ins_seq, labels, ref_labels)
+            return
+        if vcf.stop == vcf.pos:
+            raise ValueError(
+                f"{vcf.chrom}:{vcf.pos} symbolic non-insertion with "
+                "END == POS (missing END?)")
+        if alt == "<DEL>":
+            self.add_alt(vcf.pos, vcf.stop, ref_seq, ref_seq[0], labels)
+        elif alt == "<DUP>":
+            self.add_alt(vcf.pos, vcf.pos, ref_seq[0], ref_seq, labels,
+                         ref_labels)
+        elif alt == "<INV>":
+            if len(ref_seq) > 20000:
+                # huge inversions: keep 1kb stubs of both junctions
+                body = ref_seq[1:1000] + ref_seq[-1000:]
+            else:
+                body = ref_seq[1:]
+            self.add_alt(vcf.pos, vcf.stop, ref_seq,
+                         ref_seq[0] + reverse_complement(body), labels,
+                         ref_labels)
+
+    # ------------------------------------------------------------------
+    # window assembly
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_records(cls, ref_file: str, records: List[VcfRecord],
+                     ins_info_key: str, chrom=None, start=None, end=None,
+                     padding_length: int = 150,
+                     allele_graph: bool = False) -> "AlleleTable":
+        table = cls(ref_file, chrom)
+        id_counts: Dict[str, int] = {}
+        first = last = None
+        n_used = 0
+        for record in records:
+            if chrom is None:
+                chrom = record.chrom
+                table.chrom = chrom
+            elif chrom != record.chrom:
+                break
+            if (start is not None and record.pos < start) or \
+                    (end is not None and record.pos > end):
+                continue
+            if first is None:
+                first = record.pos
+            last = record.stop if last is None else max(last, record.stop)
+            table.add_record(record, allele_graph,
+                             generate_variant_id(record, id_counts),
+                             ins_info_key)
+            n_used += 1
+        if not n_used:
+            raise NoVCFRecordsException(
+                f"No VCF records found at {chrom}:{start}-{end}")
+        table.window = (first, last)
+        table.add_support(first - padding_length, last + padding_length)
+        for a in table.alts.values():
+            if first <= a.end <= last:
+                table.cuts.add(a.end + 1)
+            else:
+                table.add_support(a.end + 1, a.end + padding_length)
+        return table
+
+    # ------------------------------------------------------------------
+    # derived views
+    # ------------------------------------------------------------------
+
+    def ref_segments(self):
+        """Non-overlapping reference segments with merged label sets:
+        every interval is cut at every boundary (interval starts/ends
+        plus explicit cut positions inside it), then identical segments
+        merge their labels. Yields (begin, end_exclusive, labels) in
+        (begin, end) order."""
+        bounds = sorted({b for b, _, _ in self.support}
+                        | {e for _, e, _ in self.support} | self.cuts)
+        pieces: Dict[Tuple[int, int], Set[str]] = {}
+        for b, e, labels in self.support:
+            inner = [x for x in bounds if b < x < e]
+            for s, t in zip([b] + inner, inner + [e]):
+                pieces.setdefault((s, t), set()).update(labels)
+        for (s, t) in sorted(pieces):
+            yield s, t, pieces[s, t]
+
+    def haplotypes(self) -> Set[str]:
+        out: Set[str] = set()
+        for a in self.alts.values():
+            out |= a.haplotypes
+        for _, _, labels in self.support:
+            out |= labels
+        out.discard(None)
+        return out
+
+    # ------------------------------------------------------------------
+    # graph assembly
+    # ------------------------------------------------------------------
+
+    def build_graph(self, allele_graph: bool = False) -> GraphContainer:
+        graph = GraphContainer()
+        self._chain_reference(graph)
+        for a in self.alts.values():
+            graph.add_alt_node(self.chrom, a.start, a.end, a.sequence,
+                               a.haplotypes)
+        haplos = self.haplotypes()
+        self._chain_haplotypes(graph, haplos)
+        self._attach_alts(graph, allele_graph)
+        self._close_haplotype_edges(graph, haplos)
+        return graph
+
+    def _chain_reference(self, graph: GraphContainer):
+        prev = None
+        for b, e, labels in self.ref_segments():
+            node = graph.add_ref_node(self.chrom, b, e - 1, labels)
+            if prev is not None:
+                if prev["end"] + 1 != node["start"]:
+                    raise ValueError(
+                        f"reference gap between {prev['name']} and "
+                        f"{node['name']}")
+                graph.add_edge(prev, node)
+            prev = node
+
+    def _chain_haplotypes(self, graph: GraphContainer, haplos):
+        for haplo in haplos:
+            prev = None
+            for node in graph.nodes_by_haplo(haplo):
+                if prev is not None:
+                    if prev["end"] == node["start"] - 1:
+                        graph.add_edge(prev, node, [haplo])
+                    zero_len_ref = (prev["end"] == prev["start"] - 1
+                                    and not prev["sequence"])
+                    strictly_before = (prev["end"] < node["start"]
+                                       and prev["start"] < node["start"])
+                    if not zero_len_ref and not strictly_before:
                         raise ValueError(
-                            f"Inconsistent nodes for haplotype {haplo}: "
-                            f"{pnode['name']}, {node['name']}")
-                pnode = node
+                            f"haplotype {haplo} visits overlapping nodes "
+                            f"{prev['name']} and {node['name']}")
+                prev = node
 
+    def _attach_alts(self, graph: GraphContainer, allele_graph: bool):
+        """Wire alt nodes into the reference chain at their span
+        boundaries. (The reference converter has an additional
+        alt-to-following-node pass for allele graphs, vcfgraph.py:411-414,
+        but it indexes its position map with a key form that never
+        matches, so it contributes no edges; there is deliberately no
+        counterpart here.)"""
         for node in list(graph.alt_nodes()):
             if allele_graph or not any(graph.in_edges(node)):
                 graph.add_edge(
-                    graph.refNode_ending_at[node["chrom"], node["start"] - 1],
-                    node)
+                    graph.ref_node_ending_at(node["chrom"],
+                                             node["start"] - 1), node)
             if not any(graph.out_edges(node)):
                 graph.add_edge(
-                    node,
-                    graph.refNode_starting_at[node["chrom"], node["end"] + 1])
-            if allele_graph:
-                # NB reference indexes nodes_starting_at by bare position here
-                # (vcfgraph.py:413), missing the (chrom, pos) keys — a no-op
-                # retained for parity.
-                is_insertion = node["end"] < node["start"]
-                for n in graph.nodes_starting_at[node["end"] + 1]:
-                    if not (is_insertion and n["end"] < n["start"]):
-                        graph.add_edge(node, n)
+                    node, graph.ref_node_starting_at(node["chrom"],
+                                                     node["end"] + 1))
 
-        for haplo in self.get_haplotypes():
+    def _close_haplotype_edges(self, graph: GraphContainer, haplos):
+        """Every labelled node must be reachable by its haplotype:
+        where a haplotype has no labelled way in (or out) of a node,
+        label all existing in (out) edges with it."""
+        for haplo in haplos:
             for node in graph.nodes_by_haplo(haplo):
                 if not any(graph.in_edges(node, haplo)):
                     for e in list(graph.in_edges(node)):
-                        graph.add_edge(graph.nodes[e["from"]], node, [haplo])
+                        graph.add_edge(graph.nodes[e["from"]], node,
+                                       [haplo])
                 if not any(graph.in_edges(node, haplo)):
-                    raise ValueError("Error in get graph.")
+                    raise ValueError(
+                        f"haplotype {haplo} cannot reach {node['name']}")
                 if not any(graph.out_edges(node, haplo)):
                     for e in list(graph.out_edges(node)):
-                        graph.add_edge(node, graph.nodes[e["to"]], [haplo])
-        return graph
+                        graph.add_edge(node, graph.nodes[e["to"]],
+                                       [haplo])
 
 
 # ---------------------------------------------------------------------------
-# Graph passes (graphUtils.py equivalents)
+# graph passes
 # ---------------------------------------------------------------------------
 
 def add_source_sink(graph: GraphContainer, source_name="source",
                     sink_name="sink"):
-    if source_name not in graph.nodes:
-        graph.nodes[source_name] = {"name": source_name, "sequence": "N" * 10}
-    if sink_name not in graph.nodes:
-        graph.nodes[sink_name] = {"name": sink_name, "sequence": "N" * 10}
+    """Attach N-padded source/sink placeholders to every head/tail node."""
+    for name in (source_name, sink_name):
+        if name not in graph.nodes:
+            graph.adopt_node({"name": name, "sequence": "N" * 10})
+    source = graph.nodes[source_name]
+    sink = graph.nodes[sink_name]
     for node in list(graph.nodes.values()):
         if node["name"] in (source_name, sink_name):
             continue
         if not any(graph.in_edges(node)):
-            graph.add_edge(graph.nodes[source_name], node)
+            graph.add_edge(source, node)
         if not any(graph.out_edges(node)):
-            graph.add_edge(node, graph.nodes[sink_name])
+            graph.add_edge(node, sink)
+
+
+def _splice(graph: GraphContainer, node: dict, head: dict, tail: dict):
+    """Replace `node` by the (already inserted) head/tail pair: incoming
+    edges move to head, outgoing to tail, node is removed."""
+    for e in list(graph.in_edges(node)):
+        graph.add_edge(graph.nodes[e["from"]], head, e["sequences"])
+    for e in list(graph.out_edges(node)):
+        graph.add_edge(tail, graph.nodes[e["to"]], e["sequences"])
+    graph.del_node(node)
 
 
 def split_ref_nodes(graph: GraphContainer, max_len=300, padding_len=150):
+    """Long reference nodes keep only their two padding_len flanks (reads
+    longer than the flank can't bridge the dropped middle anyway)."""
     assert max_len >= 2 * padding_len
     for node in list(graph.ref_nodes()):
         if node["end"] - node["start"] + 1 <= max_len:
             continue
-        first_end = node["start"] + padding_len - 1
-        n1 = graph.add_ref_node(node["chrom"], node["start"], first_end,
-                                node["sequences"])
-        snd_start = node["end"] - padding_len + 1
-        n2 = graph.add_ref_node(node["chrom"], snd_start, node["end"],
-                                node["sequences"])
-        for e in list(graph.in_edges(node)):
-            graph.add_edge(graph.nodes[e["from"]], n1, e["sequences"])
-        for e in list(graph.out_edges(node)):
-            graph.add_edge(n2, graph.nodes[e["to"]], e["sequences"])
-        graph.del_node(node)
+        head = graph.add_ref_node(node["chrom"], node["start"],
+                                  node["start"] + padding_len - 1,
+                                  node["sequences"])
+        tail = graph.add_ref_node(node["chrom"],
+                                  node["end"] - padding_len + 1,
+                                  node["end"], node["sequences"])
+        _splice(graph, node, head, tail)
 
 
 def split_alt_nodes(graph: GraphContainer, max_len=300, padding_len=150):
+    """Same flank-only split for long alt sequence nodes."""
     assert max_len >= 2 * padding_len
     for node in list(graph.alt_nodes()):
         if len(node["sequence"]) <= max_len:
             continue
-        n1 = graph.add_alt_node(node["chrom"], node["start"], node["end"],
-                                node["sequence"][:padding_len],
-                                node["sequences"])
-        n2 = graph.add_alt_node(node["chrom"], node["start"], node["end"],
-                                node["sequence"][-padding_len:],
-                                node["sequences"])
-        for e in list(graph.in_edges(node)):
-            graph.add_edge(graph.nodes[e["from"]], n1, e["sequences"])
-        for e in list(graph.out_edges(node)):
-            graph.add_edge(n2, graph.nodes[e["to"]], e["sequences"])
-        graph.del_node(node)
+        head = graph.add_alt_node(node["chrom"], node["start"],
+                                  node["end"],
+                                  node["sequence"][:padding_len],
+                                  node["sequences"])
+        tail = graph.add_alt_node(node["chrom"], node["start"],
+                                  node["end"],
+                                  node["sequence"][-padding_len:],
+                                  node["sequences"])
+        _splice(graph, node, head, tail)
 
 
 def remove_empty_nodes(graph: GraphContainer):
+    """Contract zero-length nodes, rewiring each (in, out) edge pair.
+
+    The bridging edge keeps a haplotype label when both sides carry it,
+    or when one side carries it and the label has no other way through
+    the removed node (it appears on no other edge of the opposite side).
+    """
     for node in list(graph.nodes.values()):
-        if (("reference" in node and node["start"] <= node["end"])
-                or node.get("sequence", "") != ""):
+        keeps_sequence = node.get("sequence", "") != ""
+        is_real_ref = "reference" in node and node["start"] <= node["end"]
+        if is_real_ref or keeps_sequence:
             continue
-        in_seqs = [s for e in graph.in_edges(node) for s in e["sequences"]]
-        out_seqs = [s for e in graph.out_edges(node) for s in e["sequences"]]
-        for e1 in list(graph.in_edges(node)):
-            for e2 in list(graph.out_edges(node)):
-                haplos = e1["sequences"].intersection(e2["sequences"]).union(
-                    e1["sequences"].difference(out_seqs).union(
-                        e2["sequences"].difference(in_seqs)))
-                graph.add_edge(graph.nodes[e1["from"]],
-                               graph.nodes[e2["to"]], haplos)
+        in_labels = [s for e in graph.in_edges(node)
+                     for s in e["sequences"]]
+        out_labels = [s for e in graph.out_edges(node)
+                      for s in e["sequences"]]
+        for e_in in list(graph.in_edges(node)):
+            for e_out in list(graph.out_edges(node)):
+                carried = (e_in["sequences"] & e_out["sequences"]) \
+                    | (e_in["sequences"] - set(out_labels)) \
+                    | (e_out["sequences"] - set(in_labels))
+                graph.add_edge(graph.nodes[e_in["from"]],
+                               graph.nodes[e_out["to"]], carried)
         graph.del_node(node)
 
 
 def combine_nodes(graph: GraphContainer):
-    for n1 in list(graph.nodes.values()):
-        if n1["name"] not in graph.nodes:
+    """Merge chain links: a node with exactly one outgoing edge to a
+    node with exactly one incoming edge, genomically adjacent, same
+    kind, identical label sets."""
+    for first in list(graph.nodes.values()):
+        if first["name"] not in graph.nodes:
+            continue  # already merged away
+        out = list(graph.out_edges(first))
+        if len(out) != 1:
             continue
-        if len(list(graph.out_edges(n1))) != 1:
+        second = graph.nodes[out[0]["to"]]
+        if len(list(graph.in_edges(second))) != 1:
             continue
-        n2 = graph.nodes[next(graph.out_edges(n1))["to"]]
-        if len(list(graph.in_edges(n2))) != 1:
+        if first.get("chrom") != second.get("chrom"):
             continue
-        if not (n1.get("chrom") == n2.get("chrom")
-                and n1.get("end", -2) + 1 == n2.get("start", -4)):
+        if first.get("end", -2) + 1 != second.get("start", -4):
             continue
-        haplos = n1["sequences"]
-        if n2["sequences"] != haplos:
+        labels = first["sequences"]
+        if second["sequences"] != labels:
             continue
-        if "reference" in n1:
-            if "reference" not in n2:
-                continue
-            node = graph.add_ref_node(n1["chrom"], n1["start"], n2["end"],
-                                      haplos)
+        first_is_ref = "reference" in first
+        if first_is_ref != ("reference" in second):
+            continue
+        if first_is_ref:
+            merged = graph.add_ref_node(first["chrom"], first["start"],
+                                        second["end"], labels)
         else:
-            if "reference" in n2:
-                continue
-            node = graph.add_alt_node(n1["chrom"], n1["start"], n2["end"],
-                                      n1["sequence"] + n2["sequence"], haplos)
-        for e in list(graph.in_edges(n1)):
-            graph.add_edge(graph.nodes[e["from"]], node, e["sequences"])
-        for e in list(graph.out_edges(n2)):
-            graph.add_edge(node, graph.nodes[e["to"]], e["sequences"])
-        graph.del_node(n1)
-        graph.del_node(n2)
+            merged = graph.add_alt_node(
+                first["chrom"], first["start"], second["end"],
+                first["sequence"] + second["sequence"], labels)
+        for e in list(graph.in_edges(first)):
+            graph.add_edge(graph.nodes[e["from"]], merged, e["sequences"])
+        for e in list(graph.out_edges(second)):
+            graph.add_edge(merged, graph.nodes[e["to"]], e["sequences"])
+        graph.del_node(first)
+        graph.del_node(second)
 
 
 def get_path(graph: GraphContainer, sequence):
-    """Paths (node-name lists) covering all edges for one haplotype
-    (graphUtils.py:179-208)."""
-    nodes, edges = graph.topological_sort()
-    marked: Set[str] = set()
+    """Edge-covering walks for one haplotype label (None = all edges):
+    starting from each topologically-first unvisited labelled edge,
+    extend depth-first until no unvisited labelled edge continues the
+    walk; every branch yields its own node-name path."""
+    nodes, _ = graph.topological_sort()
+    visited: Set[Tuple[str, str]] = set()
 
-    def visit(edge, cur_path):
-        node = graph.nodes[edge["to"]]
-        cur_path = cur_path + [node["name"]]
-        marked.add(edge["name"])
-        paths = []
-        for e in graph.out_edges(node, sequence):
-            if e["name"] not in marked:
-                paths.extend(visit(e, cur_path))
-        if not paths:
-            paths = [cur_path]
-        return paths
+    def extend(edge, prefix):
+        visited.add((edge["from"], edge["to"]))
+        here = graph.nodes[edge["to"]]
+        prefix = prefix + [here["name"]]
+        branches = []
+        for e in graph.out_edges(here, sequence):
+            if (e["from"], e["to"]) not in visited:
+                branches.extend(extend(e, prefix))
+        return branches or [prefix]
 
     paths = []
     for node in nodes:
         for edge in graph.out_edges(node, sequence):
-            if edge["name"] not in marked:
-                paths += visit(edge, [node["name"]])
+            if (edge["from"], edge["to"]) not in visited:
+                paths.extend(extend(edge, [node["name"]]))
     return paths
 
 
 def ref_paths(graph: GraphContainer):
-    for f_node in graph.ref_nodes():
-        for edge in graph.out_edges(f_node):
-            n_node = graph.nodes[edge["to"]]
-            if "reference" in n_node and f_node["end"] + 1 == n_node["start"]:
-                graph.add_edge(f_node, n_node, ["REF"])
-    res = []
-    for path in get_path(graph, "REF"):
-        res.append({
-            "nodes": path,
-            "path_id": f"REF|{len(res) + 1}",
-            "sequence": "REF",
-        })
-    return res
+    """Label genomically-adjacent ref-ref edges REF, then enumerate the
+    REF-covering walks as path records."""
+    for node in graph.ref_nodes():
+        for edge in graph.out_edges(node):
+            peer = graph.nodes[edge["to"]]
+            if "reference" in peer and node["end"] + 1 == peer["start"]:
+                graph.add_edge(node, peer, ["REF"])
+    return [{"nodes": p, "path_id": f"REF|{i + 1}", "sequence": "REF"}
+            for i, p in enumerate(get_path(graph, "REF"))]
 
 
 def add_ref_path(graph: GraphContainer):
-    for path in ref_paths(graph):
-        graph.paths.append(path)
+    graph.paths.extend(ref_paths(graph))
 
 
 def add_alt_paths(graph: GraphContainer):
-    res = []
-    rp = ref_paths(graph)
+    """Every all-edge covering walk that is not a REF path becomes an
+    ALT path (source/sink trimmed)."""
+    ref_node_lists = [p["nodes"] for p in ref_paths(graph)]
+    found = []
     for path in get_path(graph, None):
-        if path[0] == "source":
+        if path and path[0] == "source":
             path = path[1:]
-        if path[-1] == "sink":
+        if path and path[-1] == "sink":
             path = path[:-1]
-        if path not in [p["nodes"] for p in rp]:
-            res.append({
-                "nodes": path,
-                "path_id": f"ALT|{len(res) + 1}",
-                "sequence": "ALT",
-            })
-            graph.sequences.add("ALT")
-    graph.paths += res
+        if path not in ref_node_lists:
+            found.append({"nodes": path, "path_id": f"ALT|{len(found) + 1}",
+                          "sequence": "ALT"})
+    if found:
+        graph.sequences.add("ALT")
+    graph.paths.extend(found)
 
 
 def add_graph(graph1: GraphContainer, graph2: GraphContainer):
+    """Merge graph2 into graph1 (ref nodes first, then alts, then edges
+    and paths — the insertion order downstream ids depend on)."""
     for node in graph2.ref_nodes():
         graph1.add_ref_node(node["chrom"], node["start"], node["end"],
                             node["sequences"])
     for node in graph2.alt_nodes():
         graph1.add_alt_node(node["chrom"], node["start"], node["end"],
                             node["sequence"], node["sequences"])
-    for edge in graph2.edges.values():
-        graph1.add_edge(graph1.nodes[edge["from"]], graph1.nodes[edge["to"]],
-                        edge["sequences"])
-    graph1.paths += graph2.paths
+    for edge in graph2.iter_edges():
+        graph1.add_edge(graph1.nodes[edge["from"]],
+                        graph1.nodes[edge["to"]], edge["sequences"])
+    graph1.paths.extend(graph2.paths)
 
 
 def load_json(json_dict: dict) -> GraphContainer:
-    graph = GraphContainer()
+    """GraphContainer from a paragraph graph-JSON document."""
+    graph = GraphContainer(json_dict["model_name"])
     for node in json_dict["nodes"]:
-        seqs = node.get("sequences", ())
+        labels = node.get("sequences", ())
         if "reference" in node:
             chrom, start, end = parse_region(node["reference"])
-            graph.add_ref_node(chrom, start, end, seqs, node["name"])
+            graph.add_ref_node(chrom, start, end, labels, node["name"])
         elif "position" in node:
             chrom, start, end = parse_region(node["position"])
-            graph.add_alt_node(chrom, start, end, node["sequence"], seqs,
-                               node["name"])
+            graph.add_alt_node(chrom, start, end, node["sequence"],
+                               labels, node["name"])
         else:
-            graph.nodes[node["name"]] = node
+            graph.adopt_node(node)
     for edge in json_dict["edges"]:
-        seqs = edge.get("sequences", ())
         graph.add_edge(graph.nodes[edge["from"]], graph.nodes[edge["to"]],
-                       seqs)
-    graph.name = json_dict["model_name"]
+                       edge.get("sequences", ()))
     graph.paths = json_dict.get("paths", [])
     graph.target_regions = json_dict.get("target_regions", [])
     graph.check()
@@ -602,7 +614,7 @@ def load_json(json_dict: dict) -> GraphContainer:
 
 
 # ---------------------------------------------------------------------------
-# Conversion driver (vcf2paragraph/__init__.py convert_vcf equivalent)
+# conversion driver
 # ---------------------------------------------------------------------------
 
 def convert_vcf_records(records: List[VcfRecord],
@@ -615,34 +627,37 @@ def convert_vcf_records(records: List[VcfRecord],
                         simplify: bool = True,
                         alt_paths: bool = False,
                         alt_splitting: bool = False) -> dict:
-    """Convert a block of VCF records to one graph JSON dict
-    (vcf2paragraph/__init__.py:48-114)."""
-    graph = GraphContainer("Graph from VCF")
-    region_list = ([parse_region(r) for r in target_regions]
-                   if target_regions else [(None, None, None)])
-    for chrom, start, end in region_list:
+    """One graph-JSON dict for a block of VCF records: per region,
+    records → allele table → graph → simplification passes; regions
+    merge into one container that then gets source/sink and paths."""
+    merged = GraphContainer("Graph from VCF")
+    regions = ([parse_region(r) for r in target_regions]
+               if target_regions else [(None, None, None)])
+    for chrom, start, end in regions:
         try:
-            vcf_graph = VCFGraph.create_from_vcf(
+            table = AlleleTable.from_records(
                 ref, records, ins_info_key, chrom, start, end,
                 ref_node_padding, allele_graph)
         except NoVCFRecordsException:
             continue
-        chrom_graph = vcf_graph.get_graph(allele_graph)
+        region_graph = table.build_graph(allele_graph)
         if ref_node_max_length:
-            split_ref_nodes(chrom_graph, ref_node_max_length, ref_node_padding)
+            split_ref_nodes(region_graph, ref_node_max_length,
+                            ref_node_padding)
             if alt_splitting:
-                split_alt_nodes(chrom_graph, ref_node_max_length,
+                split_alt_nodes(region_graph, ref_node_max_length,
                                 ref_node_padding)
         if simplify:
-            remove_empty_nodes(chrom_graph)
-            combine_nodes(chrom_graph)
-        chrom_graph.check()
-        add_graph(graph, chrom_graph)
+            remove_empty_nodes(region_graph)
+            combine_nodes(region_graph)
+        region_graph.check()
+        add_graph(merged, region_graph)
 
-    graph.target_regions = target_regions or list(graph.get_reference_regions())
-    add_source_sink(graph)
-    add_ref_path(graph)
+    merged.target_regions = (target_regions
+                             or list(merged.get_reference_regions()))
+    add_source_sink(merged)
+    add_ref_path(merged)
     if alt_paths:
-        add_alt_paths(graph)
-    graph.check()
-    return graph.json_dict()
+        add_alt_paths(merged)
+    merged.check()
+    return merged.json_dict()

@@ -21,207 +21,244 @@ from typing import Dict, Iterable, List, Optional, Set, Tuple
 
 
 class GraphContainer:
-    """Mutable dict-based graph used during VCF→graph conversion."""
+    """Mutable construction graph for VCF→graph conversion.
+
+    Nodes and edges are plain dicts in the paragraph graph-JSON
+    vocabulary — ``to_json``/``json_dict`` emits them verbatim minus the
+    build-time bookkeeping keys (chrom/start/end/label sets). Adjacency
+    lives in two ``name → {peer-name: edge}`` maps plus one global
+    ``(from, to) → edge`` map, all insertion-ordered: enumeration order
+    of nodes and of each node's edges is part of this class's contract,
+    because the topological sort below seeds from it and the resulting
+    node ids drive aligner tie-breaking downstream.
+
+    Reference nodes are additionally indexed by their span endpoints for
+    O(1) junction lookups during conversion (``ref_node_starting_at`` /
+    ``ref_node_ending_at``). These indexes always hold the most recently
+    added node for a coordinate; conversion passes only consult them
+    before any node sharing that coordinate is deleted.
+    """
 
     def __init__(self, name: str = "VCF Graph"):
         self.name = name
         self.chroms: Set[str] = set()
         self.target_regions = None
-        self.sequences: Set[str] = set()
+        self.sequences: Set[str] = set()  # every haplotype label seen
         self.paths: List[dict] = []
         self.nodes: Dict[str, dict] = {}
-        self.refNode_starting_at: Dict[tuple, dict] = {}
-        self.refNode_ending_at: Dict[tuple, dict] = {}
-        self.nodes_starting_at = defaultdict(list)
-        self.edges: Dict[str, dict] = {}
-        self.edges_by_node = defaultdict(list)
+        self._edge_map: Dict[Tuple[str, str], dict] = {}
+        self._out: Dict[str, Dict[str, dict]] = defaultdict(dict)
+        self._in: Dict[str, Dict[str, dict]] = defaultdict(dict)
+        self._ref_span_start: Dict[Tuple[str, int], dict] = {}
+        self._ref_span_end: Dict[Tuple[str, int], dict] = {}
 
-    @staticmethod
-    def _edge_key(n1: dict, n2: dict) -> str:
-        return n1["name"] + "_" + n2["name"]
+    # ------------------------------------------------------------------
+    # nodes
+    # ------------------------------------------------------------------
 
-    def add_edge(self, node_from: dict, node_to: dict, haplos: Iterable[str] = ()):
-        ekey = self._edge_key(node_from, node_to)
-        if ekey not in self.edges:
-            assert node_from["name"] != node_to["name"]
-            edge = {
-                "from": node_from["name"],
-                "to": node_to["name"],
-                "sequences": set(),
-                "name": ekey,
-            }
-            self.edges[ekey] = edge
-            self.edges_by_node[node_from["name"]].append(edge)
-            self.edges_by_node[node_to["name"]].append(edge)
-        self.edges[ekey]["sequences"].update(haplos)
-        self.sequences.update(haplos)
-
-    def del_edge(self, edge: dict):
-        self.edges_by_node[edge["from"]] = [
-            e for e in self.edges_by_node[edge["from"]] if e["name"] != edge["name"]
-        ]
-        self.edges_by_node[edge["to"]] = [
-            e for e in self.edges_by_node[edge["to"]] if e["name"] != edge["name"]
-        ]
-        del self.edges[edge["name"]]
-
-    def has_edge(self, node_from: dict, node_to: dict) -> bool:
-        return self._edge_key(node_from, node_to) in self.edges
-
-    def get_edge(self, name_from: str, name_to: str) -> dict:
-        return self.edges[self._edge_key(self.nodes[name_from], self.nodes[name_to])]
-
-    def in_edges(self, node: dict, haplo: Optional[str] = None):
-        for e in self.edges_by_node[node["name"]]:
-            if e["to"] == node["name"]:
-                if haplo is None or haplo in e["sequences"]:
-                    yield e
-
-    def out_edges(self, node: dict, haplo: Optional[str] = None):
-        for e in self.edges_by_node[node["name"]]:
-            if e["from"] == node["name"]:
-                if haplo is None or haplo in e["sequences"]:
-                    yield e
-
-    def alt_nodes(self, chrom: Optional[str] = None):
-        for n in self.nodes.values():
-            if "reference" not in n:
-                if chrom is None or chrom == n.get("chrom"):
-                    yield n
-
-    def ref_nodes(self, chrom: Optional[str] = None):
-        for n in self.nodes.values():
-            if "reference" in n:
-                if chrom is None or chrom == n.get("chrom"):
-                    yield n
-
-    def add_alt_node(self, chrom, start, end, sequence, sequences=(), name=None):
-        ref_span = f"{chrom}:{start}-{end}"
-        name = name or f"{ref_span}:{sequence}"
-        node = {
-            "name": name,
-            "position": ref_span,
-            "sequence": sequence,
-            "sequences": set(sequences),
-            "chrom": chrom,
-            "start": start,
-            "end": end,
-        }
-        self.chroms.add(chrom)
-        self.nodes_starting_at[chrom, start].append(node)
-        self.nodes[name] = node
-        self.sequences.update(sequences)
+    def _install(self, node: dict, labels: Iterable[str]) -> dict:
+        self.nodes[node["name"]] = node
+        self.chroms.add(node["chrom"])
+        self.sequences.update(labels)
         return node
 
     def add_ref_node(self, chrom, start, end, sequences=(), name=None):
-        ref_span = f"{chrom}:{start}-{end}"
-        node = {
-            "name": name or f"ref-{ref_span}",
-            "reference": ref_span,
-            "sequences": set(sequences),
-            "chrom": chrom,
-            "start": start,
-            "end": end,
-        }
-        self.chroms.add(chrom)
-        self.refNode_starting_at[chrom, start] = node
-        self.refNode_ending_at[chrom, end] = node
-        self.nodes_starting_at[chrom, start].append(node)
+        span = f"{chrom}:{start}-{end}"
+        node = {"name": name or f"ref-{span}", "reference": span,
+                "sequences": set(sequences),
+                "chrom": chrom, "start": start, "end": end}
+        self._ref_span_start[chrom, start] = node
+        self._ref_span_end[chrom, end] = node
+        return self._install(node, sequences)
+
+    def add_alt_node(self, chrom, start, end, sequence, sequences=(),
+                     name=None):
+        span = f"{chrom}:{start}-{end}"
+        node = {"name": name or f"{span}:{sequence}", "position": span,
+                "sequence": sequence, "sequences": set(sequences),
+                "chrom": chrom, "start": start, "end": end}
+        return self._install(node, sequences)
+
+    def adopt_node(self, node: dict) -> dict:
+        """Install a pre-built node dict (source/sink placeholders and
+        JSON passthrough nodes carry no span bookkeeping)."""
         self.nodes[node["name"]] = node
-        self.sequences.update(sequences)
         return node
 
-    def del_node(self, node: dict):
-        for e in list(self.edges_by_node[node["name"]]):
-            self.del_edge(e)
-        # NB the reference indexes nodes_starting_at by bare start here
-        # (graphContainer.py:145) which is a separate key space from the
-        # (chrom, start) tuples used elsewhere — so deletion leaves the
-        # (chrom,start) entry in place. Replicated for parity.
-        self.nodes_starting_at[node["start"]] = [
-            n for n in self.nodes_starting_at[node["start"]]
-            if n["name"] != node["name"]
-        ]
-        del self.nodes[node["name"]]
+    def ref_node_starting_at(self, chrom: str, pos: int) -> dict:
+        return self._ref_span_start[chrom, pos]
 
-    def nodes_by_haplo(self, haplo: str):
-        ns = [n for n in self.nodes.values() if haplo in n.get("sequences", ())]
+    def ref_node_ending_at(self, chrom: str, pos: int) -> dict:
+        return self._ref_span_end[chrom, pos]
+
+    def del_node(self, node: dict):
+        name = node["name"]
+        for e in list(self._out[name].values()):
+            self.del_edge(e)
+        for e in list(self._in[name].values()):
+            self.del_edge(e)
+        del self.nodes[name]
+
+    def ref_nodes(self, chrom: Optional[str] = None):
+        return (n for n in self.nodes.values() if "reference" in n
+                and (chrom is None or chrom == n.get("chrom")))
+
+    def alt_nodes(self, chrom: Optional[str] = None):
+        return (n for n in self.nodes.values() if "reference" not in n
+                and (chrom is None or chrom == n.get("chrom")))
+
+    def nodes_by_haplo(self, haplo: str) -> List[dict]:
+        """Nodes labelled with `haplo`, by (start, end); ties keep
+        insertion order (stable sort)."""
+        ns = [n for n in self.nodes.values()
+              if haplo in n.get("sequences", ())]
         ns.sort(key=lambda n: (n["start"], n["end"]))
         return ns
 
+    # ------------------------------------------------------------------
+    # edges
+    # ------------------------------------------------------------------
+
+    def add_edge(self, node_from: dict, node_to: dict,
+                 haplos: Iterable[str] = ()) -> dict:
+        key = (node_from["name"], node_to["name"])
+        if key[0] == key[1]:
+            raise ValueError(f"refusing self-edge on node {key[0]}")
+        edge = self._edge_map.get(key)
+        if edge is None:
+            edge = {"from": key[0], "to": key[1], "sequences": set(),
+                    "name": f"{key[0]}_{key[1]}"}
+            self._edge_map[key] = edge
+            self._out[key[0]][key[1]] = edge
+            self._in[key[1]][key[0]] = edge
+        edge["sequences"].update(haplos)
+        self.sequences.update(haplos)
+        return edge
+
+    def del_edge(self, edge: dict):
+        key = (edge["from"], edge["to"])
+        del self._edge_map[key]
+        del self._out[key[0]][key[1]]
+        del self._in[key[1]][key[0]]
+
+    def has_edge(self, node_from: dict, node_to: dict) -> bool:
+        return (node_from["name"], node_to["name"]) in self._edge_map
+
+    def get_edge(self, name_from: str, name_to: str) -> dict:
+        return self._edge_map[name_from, name_to]
+
+    def iter_edges(self):
+        """All edges in creation order."""
+        return iter(self._edge_map.values())
+
+    def num_edges(self) -> int:
+        return len(self._edge_map)
+
+    def in_edges(self, node: dict, haplo: Optional[str] = None):
+        for e in self._in[node["name"]].values():
+            if haplo is None or haplo in e["sequences"]:
+                yield e
+
+    def out_edges(self, node: dict, haplo: Optional[str] = None):
+        for e in self._out[node["name"]].values():
+            if haplo is None or haplo in e["sequences"]:
+                yield e
+
+    # ------------------------------------------------------------------
+    # derived views
+    # ------------------------------------------------------------------
+
     def check(self):
-        for e in self.edges.values():
-            assert e["from"] in self.nodes
-            assert e["to"] in self.nodes
-            assert e["from"] != e["to"]
+        for (f, t), _e in self._edge_map.items():
+            if f not in self.nodes or t not in self.nodes:
+                raise AssertionError(f"edge {f}->{t} references a "
+                                     "missing node")
+            if f == t:
+                raise AssertionError(f"self-edge on {f}")
         for p in self.paths:
-            assert p["sequence"] in self.sequences
+            if p["sequence"] not in self.sequences:
+                raise AssertionError(
+                    f"path {p['path_id']} labelled with unknown sequence")
             for n in p["nodes"]:
-                assert n in self.nodes
+                if n not in self.nodes:
+                    raise AssertionError(f"path node {n} missing")
 
     def topological_sort(self):
-        """DFS-based topological sort.
+        """Node order + node-order-sorted edges.
 
-        Matches graphContainer.py:168-195 exactly (including the
-        name-sorted child visit order), because the resulting node order
-        defines node ids and thereby aligner tie-breaking.
+        Iterative reverse-postorder DFS, seeded from nodes in insertion
+        order with children visited name-sorted. This exact order is a
+        contract: it defines node ids, which the aligner's tie-breaking
+        depends on (the goldens in tests/test_vcf2paragraph_golden.py
+        pin it).
         """
-        ordered_nodes: List[dict] = []
-        marks: Dict[str, str] = {}
+        def children(node):
+            succ = [self.nodes[d] for d in self._out[node["name"]]]
+            succ.sort(key=lambda n: n["name"])
+            return succ
 
-        def visit(node):
-            marks[node["name"]] = "t"
-            nnodes = [self.nodes[e["to"]] for e in self.out_edges(node)]
-            for x in sorted(nnodes, key=lambda n: n["name"]):
-                if x["name"] not in marks:
-                    visit(x)
-                elif marks[x["name"]] == "t":
+        OPEN, DONE = 1, 2
+        state: Dict[str, int] = {}
+        postorder: List[dict] = []
+        for root in list(self.nodes.values()):
+            if root["name"] in state:
+                continue
+            state[root["name"]] = OPEN
+            stack = [(root, iter(children(root)))]
+            while stack:
+                node, it = stack[-1]
+                child = next(it, None)
+                if child is None:
+                    state[node["name"]] = DONE
+                    postorder.append(node)
+                    stack.pop()
+                elif child["name"] not in state:
+                    state[child["name"]] = OPEN
+                    stack.append((child, iter(children(child))))
+                elif state[child["name"]] == OPEN:
                     raise ValueError(
-                        f"Graph has a cycle at {node['name']} -> {x['name']}")
-            marks[node["name"]] = "p"
-            ordered_nodes.insert(0, node)
-
-        for node in self.nodes.values():
-            if node["name"] not in marks:
-                visit(node)
-        node_order = {n["name"]: i for i, n in enumerate(ordered_nodes)}
-        all_edges = sorted(
-            self.edges.values(),
-            key=lambda e: (node_order[e["from"]], node_order[e["to"]]),
-        )
+                        f"Graph has a cycle at {node['name']} -> "
+                        f"{child['name']}")
+        ordered_nodes = postorder[::-1]
+        rank = {n["name"]: i for i, n in enumerate(ordered_nodes)}
+        all_edges = sorted(self._edge_map.values(),
+                           key=lambda e: (rank[e["from"]], rank[e["to"]]))
         return ordered_nodes, all_edges
 
     def get_reference_regions(self):
+        """Merged reference spans per chromosome, as region strings."""
         for chrom in self.chroms:
-            ivs = sorted(
-                (n["start"], n["end"] + 1) for n in self.ref_nodes(chrom))
-            merged = []
-            for s, e in ivs:
-                if merged and s <= merged[-1][1]:
-                    merged[-1][1] = max(merged[-1][1], e)
-                else:
-                    merged.append([s, e])
-            for s, e in merged:
-                yield f"{chrom}:{s}-{e - 1}"
+            spans = sorted((n["start"], n["end"])
+                           for n in self.ref_nodes(chrom))
+            cur_s = cur_e = None
+            for s, e in spans:
+                if cur_e is not None and s <= cur_e + 1:
+                    cur_e = max(cur_e, e)
+                    continue
+                if cur_s is not None:
+                    yield f"{chrom}:{cur_s}-{cur_e}"
+                cur_s, cur_e = s, e
+            if cur_s is not None:
+                yield f"{chrom}:{cur_s}-{cur_e}"
+
+    _BOOKKEEPING_KEYS = ("mark", "vcfId", "chrom", "start", "end")
 
     def json_dict(self) -> dict:
-        """Paragraph graph JSON representation (graphContainer.py:209-241)."""
-        attribs_to_del = ["mark", "vcfId", "chrom", "start", "end"]
+        """Paragraph graph-JSON document (node order = topological)."""
         s_nodes, s_edges = self.topological_sort()
-        nodes = []
-        for n in s_nodes:
-            n = dict(n)
-            for a in attribs_to_del + ["sequences"]:
-                n.pop(a, None)
-            nodes.append(n)
+
+        def strip(d: dict, also=()) -> dict:
+            return {k: v for k, v in d.items()
+                    if k not in self._BOOKKEEPING_KEYS and k not in also}
+
+        nodes = [strip(n, also=("sequences",)) for n in s_nodes]
         edges = []
         for e in s_edges:
-            e = dict(e)
-            for a in attribs_to_del:
-                e.pop(a, None)
+            e = strip(e)
             if "sequences" in e:
-                e["sequences"] = sorted(e["sequences"])
-                if not e["sequences"]:
+                if e["sequences"]:
+                    e["sequences"] = sorted(e["sequences"])
+                else:
                     del e["sequences"]
             edges.append(e)
         return {

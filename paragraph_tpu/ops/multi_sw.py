@@ -574,9 +574,10 @@ class PairedGraphSW:
                                  n_max=self.n_max, p_max=self.p_max,
                                  l_to=self.l_uni, e_to=self.e_uni)
             self.chunk_arrays.append(a)
-            # resident device copies (re-uploading per dispatch costs a
-            # tunnel round trip per array)
-            self._chunk_dev.append(tuple(jnp.asarray(x) for x in (
+            # resident device copies, shipped as ONE batched transfer —
+            # through the shared device tunnel every individual upload
+            # pays a round trip, so per-array puts cost 6x the RTTs
+            self._chunk_dev.append(jax.device_put((
                 a.ref_codes, a.col_node, a.col_in_node, a.is_start,
                 a.is_last, a.pred_tables)))
 
@@ -594,13 +595,13 @@ class PairedGraphSW:
                               tiles_to=tiles_to, bases_to=bases_to,
                               l_ev_floor=self.l_ev)
         dev = self._chunk_dev[chunk_i]
+        # one batched transfer for all per-dispatch tables (see __init__)
+        tables = jax.device_put((
+            t["tile_col_start"], t["tile_col_len"], t["tile_event"],
+            t["codes_t"], t["lens"], t["vlens"], t["col_idx"], t["flip"],
+            t["comp"]))
         out = paired_pallas_fill(
-            *dev,
-            jnp.asarray(t["tile_col_start"]), jnp.asarray(t["tile_col_len"]),
-            jnp.asarray(t["tile_event"]), jnp.asarray(t["codes_t"]),
-            jnp.asarray(t["lens"]), jnp.asarray(t["vlens"]),
-            jnp.asarray(t["col_idx"]), jnp.asarray(t["flip"]),
-            jnp.asarray(t["comp"]),
+            *dev, *tables,
             L=len(a.ref_codes), L_ev=t["l_ev"], N=a.n_max, P=a.p_max,
             M=t["m"], TB=tb, interpret=self.interpret)
         return out, t["layout"]

@@ -160,11 +160,13 @@ class ShardedPairedSW:
             # pad the last round to S shards by re-scoring the first
             # slot's graphs against empty read sets (outputs discarded)
             full = list(slot_ids) + [slot_ids[0]] * (S - n_real)
-            dev = tuple(
-                jax.device_put(jnp.asarray(stack(full, attr, pv)), sharding)
-                for attr, pv in (("ref_codes", 4), ("col_node", 0),
-                                 ("col_in_node", 0), ("is_start", 0),
-                                 ("is_last", 0), ("pred_tables", n_max)))
+            dev = jax.device_put(
+                tuple(stack(full, attr, pv)
+                      for attr, pv in (("ref_codes", 4), ("col_node", 0),
+                                       ("col_in_node", 0), ("is_start", 0),
+                                       ("is_last", 0),
+                                       ("pred_tables", n_max))),
+                sharding)
             self._round_dev.append((full, n_real, dev))
 
         self._fill = None
@@ -231,14 +233,13 @@ class ShardedPairedSW:
                               self._make_fill(statics))
             fill = self._fill[1]
 
-            def put(key, dtype=None):
-                x = np.stack([t[key] for t in tables])
-                return jax.device_put(jnp.asarray(x), sharding)
-
-            out = fill(*dev, put("tile_col_start"), put("tile_col_len"),
-                       put("tile_event"), put("codes_t"), put("lens"),
-                       put("vlens"), put("col_idx"), put("flip"),
-                       put("comp"))
+            keys = ("tile_col_start", "tile_col_len", "tile_event",
+                    "codes_t", "lens", "vlens", "col_idx", "flip", "comp")
+            # one batched sharded transfer for all per-round tables
+            puts = jax.device_put(
+                tuple(np.stack([t[k] for t in tables]) for k in keys),
+                sharding)
+            out = fill(*dev, *puts)
             pending.append((slot_ids, n_real, tables, out))
         return pending, len(reads_per_pair)
 

@@ -57,87 +57,75 @@ class MultigrmpyOptions:
     validate_schemas: bool = False
 
 
+def _file_sha256(path: str) -> str:
+    sha = hashlib.sha256()
+    with open(path, "rb") as f:
+        for buf in iter(lambda: f.read(1 << 16), b""):
+            sha.update(buf)
+    return sha.hexdigest()
+
+
+_GRMPY_ID_HEADER = (
+    '##INFO=<ID=GRMPY_ID,Number=1,Type=String,Description="Graph ID '
+    'for linking to genotypes.json.gz; matches record.graphinfo.ID '
+    'in there.">')
+
+
 def parse_vcf_lines(vcf_path: str, read_length: int = 150,
                     split_type: str = "full"):
-    """parse_vcf_lines (vcf2paragraph/__init__.py:173-262): split the VCF
-    into blocks and assign GRMPY_ID = basename@sha256:block."""
-    sha = hashlib.sha256()
-    with open(vcf_path, "rb") as f:
-        while True:
-            buf = f.read(65536)
-            if not buf:
-                break
-            sha.update(buf)
-    vcf_id = os.path.basename(vcf_path) + "@" + sha.hexdigest()
+    """Group a VCF's records into event blocks and stamp each record's
+    GRMPY_ID = ``basename@sha256:block``.
+
+    Split strategies: ``full`` (everything in one block, id suffix 0),
+    ``lines`` (one block per record), ``by_id`` (consecutive records
+    sharing a VCF ID form one block), ``superloci`` (records within one
+    read length of the previous record's span merge into one locus).
+    Returns (header_lines, samples, blocks, block_ids).
+    """
+    vcf_id = os.path.basename(vcf_path) + "@" + _file_sha256(vcf_path)
+
+    # the block chain carries a little state between records; each
+    # strategy decides only whether the next record opens a new block
+    state = {"id": None, "chrom": None, "end": None}
+
+    def opens_block(record) -> bool:
+        if split_type == "full":
+            return not blocks
+        if split_type == "lines":
+            return True
+        if split_type == "by_id":
+            fresh = not record.id or record.id != state["id"]
+            state["id"] = record.id or None
+            return fresh
+        if split_type == "superloci":
+            fresh = (state["chrom"] != record.chrom or state["end"] is None
+                     or record.pos > state["end"] + read_length)
+            state["chrom"] = record.chrom
+            state["end"] = max(record.stop or 0, record.pos)
+            return fresh
+        raise ValueError(f"Unknown VCF splitting type: {split_type}")
 
     reader = VcfReader(vcf_path)
     header_lines = list(reader.header_lines)
     if not any("##INFO=<ID=GRMPY_ID," in l for l in header_lines):
-        header_lines.append(
-            '##INFO=<ID=GRMPY_ID,Number=1,Type=String,Description="Graph ID '
-            'for linking to genotypes.json.gz; matches record.graphinfo.ID '
-            'in there.">')
+        header_lines.append(_GRMPY_ID_HEADER)
 
-    records = []
-    block_ids = []
-    prev_id = ""
-    current_chr = None
-    previous_end = None
+    blocks: List[List] = []
+    block_ids: List[str] = []
     for record in reader:
         if record.pos < read_length:
             raise ValueError(
-                "Distance between vcf position and chrom start is smaller "
-                "than read length.")
-        if split_type == "full":
-            bid = vcf_id + ":0"
-            record.info["GRMPY_ID"] = bid
-            if not records:
-                records = [[record]]
-                block_ids.append(bid)
-            else:
-                records[0].append(record)
-        elif split_type == "lines":
-            bid = vcf_id + ":" + str(len(records) + 1)
-            record.info["GRMPY_ID"] = bid
-            records.append([record])
-            block_ids.append(bid)
-        elif split_type == "by_id":
-            if not record.id:
-                bid = vcf_id + ":" + str(len(records) + 1)
-                record.info["GRMPY_ID"] = bid
-                records.append([record])
-                block_ids.append(bid)
-                prev_id = None
-            elif record.id == prev_id:
-                bid = block_ids[-1]
-                record.info["GRMPY_ID"] = bid
-                records[-1].append(record)
-            else:
-                bid = vcf_id + ":" + str(len(records) + 1)
-                record.info["GRMPY_ID"] = bid
-                records.append([record])
-                block_ids.append(bid)
-                prev_id = record.id
-        elif split_type == "superloci":
-            if (not current_chr or record.chrom != current_chr
-                    or not previous_end
-                    or record.pos > previous_end + read_length):
-                bid = vcf_id + ":" + str(len(records) + 1)
-                record.info["GRMPY_ID"] = bid
-                records.append([record])
-                block_ids.append(bid)
-            else:
-                bid = block_ids[-1]
-                record.info["GRMPY_ID"] = bid
-                records[-1].append(record)
-            current_chr = record.chrom
-            previous_end = record.stop
-            if not previous_end or previous_end < record.pos:
-                previous_end = record.pos
+                f"record at {record.chrom}:{record.pos} is closer to the "
+                "contig start than one read length")
+        if opens_block(record):
+            suffix = 0 if split_type == "full" else len(blocks) + 1
+            block_ids.append(f"{vcf_id}:{suffix}")
+            blocks.append([record])
         else:
-            raise ValueError(f"Unknown VCF splitting type: {split_type}")
+            blocks[-1].append(record)
+        record.info["GRMPY_ID"] = block_ids[-1]
     reader.close()
-    return header_lines, reader.samples, records, block_ids
+    return header_lines, reader.samples, blocks, block_ids
 
 
 def convert_vcf_to_json(options: MultigrmpyOptions, alt_paths: bool = False):

@@ -40,6 +40,14 @@ def _worker_init():
     # keep the axon sitecustomize from dialing the device tunnel
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
     _WORKER_STATE["readers"] = {}
+    _WORKER_STATE["event_reads"] = {}
+    # pre-import the analysis stack now, while the parent is still
+    # converting input and extracting round 0 — all later tasks hit warm
+    # modules instead of paying ~0.7s of imports on the critical path
+    from ..graph.model import SequenceGraph  # noqa: F401
+    from ..reads.extraction import extract_reads  # noqa: F401
+    from .grmpy import count_and_genotype  # noqa: F401
+    from .paragraph import align_and_disambiguate  # noqa: F401
 
 
 def _get_reader(filename: str, index_filename: str, reference_path: str):
@@ -54,13 +62,10 @@ def _get_reader(filename: str, index_filename: str, reference_path: str):
     return reader
 
 
-def _extract_event(graph_desc: dict, reference_path: str,
-                   bam_specs: List[tuple], max_reads: int):
-    """Extract reads for one event across all samples that need alignment.
-
-    Returns {sample_name: [Read, ...]} (grmpy::alignSingleSample's
-    extraction half, AlignSamples.cpp:115-147).
-    """
+def _extract_reads_map(graph_desc: dict, reference_path: str,
+                       bam_specs: List[tuple], max_reads: int):
+    """{sample_name: [Read, ...]} for one event (grmpy::alignSingleSample's
+    extraction half, AlignSamples.cpp:115-147)."""
     from ..reads.extraction import extract_reads
     from .paragraph import Parameters
 
@@ -76,24 +81,56 @@ def _extract_event(graph_desc: dict, reference_path: str,
     return out
 
 
-def _analyze_event(graph_desc: dict, reference_path: str,
+def _extract_event(gi: int, graph_desc: dict, reference_path: str,
+                   bam_specs: List[tuple], max_reads: int):
+    """Extract one event's reads, keep the Read objects in this worker
+    (the analysis task for the same event is routed back here), and
+    return only what the parent's device scoring needs: per sample, the
+    upper-cased bases of scoreable reads as one blob + lengths. Read
+    objects never cross the process boundary — with few host cores the
+    parent's unpickle time is pipeline critical path."""
+    reads_map = _extract_reads_map(graph_desc, reference_path, bam_specs,
+                                   max_reads)
+    _WORKER_STATE.setdefault("event_reads", {})[gi] = reads_map
+    out = {}
+    for sample_name, reads in reads_map.items():
+        bases = [r.bases.upper() for r in reads if r.bases]
+        import numpy as np
+
+        lens = np.fromiter((len(b) for b in bases), np.int32,
+                           count=len(bases))
+        out[sample_name] = ("".join(bases).encode(), lens)
+    return out
+
+
+def _analyze_event(gi: int, graph_desc: dict, reference_path: str,
                    genotyping_parameters: Optional[dict],
-                   parameters, per_sample: List[tuple]):
+                   parameters, per_sample: List[tuple],
+                   bam_specs: List[tuple], max_reads: int):
     """Per-event host analysis + genotyping for all samples.
 
-    per_sample: (SampleInfo, reads-or-None, precomputed-scores-or-None);
-    reads=None means the sample carries pre-aligned alignment_data.
+    per_sample: (SampleInfo, has_reads, precomputed-scores-or-None);
+    has_reads=False means the sample carries pre-aligned alignment_data.
+    Reads come from this worker's extraction cache (same event was
+    extracted here — the parent routes both tasks to one worker); a
+    cache miss (e.g. worker restart) re-extracts locally.
     Returns the event's genotyping result dict (CountAndGenotype.cpp).
     """
     from ..graph.model import SequenceGraph
     from ..reads.read import UNMAPPED
     from .grmpy import _make_paragraph_parameters, count_and_genotype
 
+    reads_map = _WORKER_STATE.setdefault("event_reads", {}).pop(gi, None)
+    if reads_map is None and any(h for _, h, _ in per_sample):
+        reads_map = _extract_reads_map(graph_desc, reference_path,
+                                       bam_specs, max_reads)
+
     pp = None
     graph = None
     samples = []
-    for sample, reads, scores in per_sample:
-        if reads is not None:
+    for sample, has_reads, scores in per_sample:
+        if has_reads:
+            reads = reads_map[sample.sample_name]
             if pp is None:
                 pp = _make_paragraph_parameters(
                     parameters, graph_desc, reference_path, False)
@@ -194,18 +231,23 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
         stage_t[key] = stage_t.get(key, 0.0) + now - t0
         return now
 
-    with concurrent.futures.ProcessPoolExecutor(
-            max_workers=workers, mp_context=ctx,
-            initializer=_worker_init) as ex:
+    # one single-worker pool per host core: event gi's extraction AND
+    # analysis both go to pool gi % W, so the Read objects extracted
+    # there are still in that worker's cache when analysis arrives —
+    # reads never cross a process boundary (see _extract_event)
+    pools = [concurrent.futures.ProcessPoolExecutor(
+        max_workers=1, mp_context=ctx, initializer=_worker_init)
+        for _ in range(workers)]
+    try:
 
         def submit_extract(r: int) -> None:
             for gi in rounds[r]:
-                extract_futs[gi] = ex.submit(
-                    _extract_event, graph_descs[gi], reference_path,
+                extract_futs[gi] = pools[gi % workers].submit(
+                    _extract_event, gi, graph_descs[gi], reference_path,
                     bam_specs, parameters.max_reads)
 
         def finalize_and_analyze(pending) -> None:
-            r, sw, handle, reads_by_event = pending
+            r, sw, handle, blobs_by_event = pending
             t0 = time.perf_counter()
             scores = None
             if handle is not None:
@@ -221,9 +263,8 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
                 per_sample = []
                 for s in manifest:  # manifest order = output sample order
                     if s.alignment_data is not None:
-                        per_sample.append((copy.copy(s), None, None))
+                        per_sample.append((copy.copy(s), False, None))
                         continue
-                    reads = reads_by_event[gi][s.sample_name]
                     if scores is not None:
                         f_out, r_out = scores[k]
                         sc = (f_out[0], f_out[4], r_out[4],
@@ -231,10 +272,11 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
                     else:
                         sc = None
                     k += 1
-                    per_sample.append((copy.copy(s), reads, sc))
-                analysis_futs[gi] = ex.submit(
-                    _analyze_event, graph_descs[gi], reference_path,
-                    genotyping_parameters, parameters, per_sample)
+                    per_sample.append((copy.copy(s), True, sc))
+                analysis_futs[gi] = pools[gi % workers].submit(
+                    _analyze_event, gi, graph_descs[gi], reference_path,
+                    genotyping_parameters, parameters, per_sample,
+                    bam_specs, parameters.max_reads)
             _clock("device_wait+submit", t0)
 
         pending_score = None
@@ -243,7 +285,7 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
             if r + 1 < len(rounds):
                 submit_extract(r + 1)
             t0 = time.perf_counter()
-            reads_by_event = {gi: extract_futs.pop(gi).result()
+            blobs_by_event = {gi: extract_futs.pop(gi).result()
                               for gi in rounds[r]}
             t0 = _clock("extract_wait", t0)
 
@@ -254,13 +296,15 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
             for gi in rounds[r]:
                 graph = None
                 for s in needs_align:
-                    reads = reads_by_event[gi][s.sample_name]
+                    blob, lens = blobs_by_event[gi][s.sample_name]
                     if graph is None:
                         graph = SequenceGraph.from_json(
                             _root_desc(graph_descs[gi]), reference_path)
                     graphs.append(graph)
-                    batches.append(
-                        [rd.bases.upper() for rd in reads if rd.bases])
+                    text = blob.decode()
+                    ends = lens.cumsum()
+                    batches.append([text[e - l:e]
+                                    for l, e in zip(lens, ends)])
             t0 = _clock("graph_build", t0)
 
             sw = None
@@ -284,7 +328,7 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
 
             if pending_score is not None:
                 finalize_and_analyze(pending_score)
-            pending_score = (r, sw, handle, reads_by_event)
+            pending_score = (r, sw, handle, blobs_by_event)
 
             done = sum(1 for f in analysis_futs if f is not None
                        and f.done())
@@ -301,6 +345,9 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
         _clock("analysis_wait", t0)
         logger.info("[pipeline] stage seconds: %s",
                     {k: round(v, 2) for k, v in sorted(stage_t.items())})
+    finally:
+        for ex in pools:
+            ex.shutdown(wait=False, cancel_futures=True)
     return results
 
 

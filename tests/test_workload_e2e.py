@@ -39,51 +39,25 @@ def test_synthetic_workload_genotypes(workload):
         output=os.path.join(out_dir, "out"),
         split_type="superloci",
     ))
-    calls = {}
-    fts = {}
     with gzip.open(result["genotypes_vcf"], "rt") as f:
-        for line in f:
-            if line.startswith("#"):
-                continue
-            parts = line.rstrip("\n").split("\t")
-            fmt = parts[8].split(":")
-            vals = parts[9].split(":")
-            calls[int(parts[1])] = vals[fmt.index("GT")]
-            fts[int(parts[1])] = vals[fmt.index("FT")] if "FT" in fmt else ""
-    n_records = len(events) + sum(
+        n_records = sum(1 for line in f if not line.startswith("#"))
+    assert n_records == len(events) + sum(
         1 for ev in events if ev["kind"] == "DELSNP")
-    assert len(calls) == n_records
 
-    # per-breakpoint truth for nested superloci: the whole-variant
-    # consensus legitimately CONFLICTs (SNP and DEL breakpoints carry
-    # different alt alleles; the reference's vcfupdate then reports
-    # GT=. with UNMATCHED — set_record_for_sample, vcfupdate.py:256-262)
-    bp_gts = {}  # allele name -> set of breakpoint GT strings
-    with gzip.open(result["genotypes_json"], "rt") as f:
-        for rec in json.load(f):
-            for bp in rec["samples"]["sample"].get(
-                    "breakpoints", {}).values():
-                alleles = set(bp["counts"]["alleles"]) - {"REF"}
-                for a in alleles:
-                    bp_gts.setdefault(a, set()).add(bp["gt"].get("GT", "."))
+    # shared truth-checker with the e2e bench: classifies every miss
+    # (DELSNP whole-variant CONFLICT with correct per-breakpoint GTs is
+    # credited; FT-filtered / GQ<10 misses are "explained" — e.g. DUPs
+    # whose copy is shorter than the read length are intrinsically
+    # uncallable at the breakpoint, same as the reference genotyper)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench_e2e import check_truth
 
-    misses = []
-    for i, ev in enumerate(events):
-        got = calls.get(ev["pos"], "missing")
-        want = ev["gt"]
-        ok = (got == want or (got == "1/0" and want == "0/1")
-              or (want == "0/0" and got in ("0/0", "./.")))
-        if not ok and ev["kind"] == "DELSNP":
-            # conflict at the whole-variant level is reference-faithful;
-            # the DEL allele's own breakpoints must still be right
-            allele = f"ev{i}:1"
-            want_bp = {"0/1": f"REF/{allele}", "1/1": f"{allele}/{allele}",
-                       "0/0": "REF/REF"}[want]
-            ok = (got == "." and "UNMATCHED" in fts.get(ev["pos"], "")
-                  and bp_gts.get(allele) == {want_bp})
-        if not ok:
-            misses.append((ev, got, fts.get(ev["pos"])))
-    assert not misses, misses
+    n_ok, misses = check_truth(result["genotypes_vcf"],
+                               result["genotypes_json"], events)
+    unexpected = [m for m in misses if m["reason"] == "unexpected"]
+    assert not unexpected, unexpected
+    assert n_ok == len(events), misses
 
 
 def test_idxdepth_recovers_simulated_depth(workload):
