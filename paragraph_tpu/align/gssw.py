@@ -104,14 +104,26 @@ class _Cigar:
 class GraphSW:
     """Graph Smith-Waterman over one SequenceGraph (one strand).
 
-    Node expansion is 1:1 (paragraph builds graphtools::Graph without
-    degenerate expansion, GraphInput.cpp:62), so gssw node ids equal graph
-    node ids and predecessor order is sorted-id order
-    (GraphAligner.cpp:110-167 + std::set iteration).
+    By default node expansion is 1:1 (paragraph builds
+    graphtools::Graph without degenerate expansion, GraphInput.cpp:62),
+    so gssw node ids equal graph node ids and predecessor order is
+    sorted-id order (GraphAligner.cpp:110-167 + std::set iteration).
+
+    With ``expand_degenerate=True`` the engine scores the IUPAC
+    expansion of the graph instead (graph-tools
+    SequenceOperations.cpp:155-190 enumeration; one scoring node per
+    concrete expansion, all mapped back to the original node id like
+    GraphAligner.cpp:125-133), and trace_back reports original node
+    ids. ``node_map[i]`` is the original node of scoring node i.
     """
 
     def __init__(self, graph: SequenceGraph, match=1, mismatch=4,
-                 gap_open=6, gap_extend=1):
+                 gap_open=6, gap_extend=1, expand_degenerate=False):
+        self.node_map = None
+        if expand_degenerate:
+            from ..graph.expand import expand_graph
+
+            graph, self.node_map = expand_graph(graph)
         self.graph = graph
         self.gap_open = gap_open
         self.gap_extend = gap_extend
@@ -412,6 +424,8 @@ class GraphSW:
 
         gm.position = ref_end + 1 if ref_end + 1 >= 0 else 0
         gm.node_ids = list(reversed(node_ids_rev))
+        if self.node_map is not None:
+            gm.node_ids = [self.node_map[i] for i in gm.node_ids]
         gm.node_cigars = [c.ops for c in reversed(cigars_rev)]
         return gm
 

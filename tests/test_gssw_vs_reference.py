@@ -153,3 +153,64 @@ def test_random_short_nodes(ref_lib):
         if not read:
             continue
         _run_case(ref_lib, seqs, edges, read)
+
+
+def test_degenerate_base_expansion(ref_lib):
+    """IUPAC nodes: our expand-and-score engine must be cell-exact with
+    the reference gssw run over the same expanded node set that
+    grm::GraphAligner would build (GraphAligner.cpp:125-133 +
+    SequenceOperations.cpp:155-190 enumeration order)."""
+    from paragraph_tpu.graph.expand import expand_graph, expand_sequence
+
+    # enumeration-order contract (reference per-symbol copy scheme)
+    assert expand_sequence("R") == ["A", "G"]
+    assert expand_sequence("RY") == ["AC", "GC", "AT", "GT"]
+    assert expand_sequence("B") == ["C", "G", "T"]
+    assert expand_sequence("ACGT") == ["ACGT"]
+
+    rng = random.Random(4242)
+    degenerate = "RYKMSWN"
+    for case in range(60):
+        seqs, edges = _random_graph(rng, max_nodes=5, max_len=12)
+        # sprinkle degenerate symbols into INTERIOR nodes only (the
+        # aligner takes source/sink verbatim); keep the blow-up small
+        seqs = [
+            s if i in (0, len(seqs) - 1) else
+            "".join(c if rng.random() > 0.15 else rng.choice(degenerate)
+                    for c in s)
+            for i, s in enumerate(seqs)
+        ]
+        read = _read_from_graph(rng, [
+            "".join(rng.choice("ACGT") if c in degenerate else c
+                    for c in s) for s in seqs], edges,
+            read_len=rng.randint(8, 30))
+        if not read:
+            continue
+
+        g = SequenceGraph([f"n{i}" for i in range(len(seqs))], seqs)
+        for f, t in edges:
+            g.add_edge(f, t)
+        eg, node_map = expand_graph(g)
+
+        mine = GraphSW(g, expand_degenerate=True)
+        fills, max_node, max_score = mine.fill(read)
+        gm = mine.trace_back(fills, max_node, read)
+
+        exp_edges = eg.edges()
+        score, position, node_cigars, ref_max_node, per_node = \
+            ref_lib.align(eg.node_seqs, exp_edges, read)
+
+        assert max_score == score, (seqs, edges, read)
+        assert max_node == ref_max_node, (seqs, edges, read)
+        for nid, (s1, re1, rd1) in enumerate(per_node):
+            f = fills[nid]
+            assert (f.score1, f.ref_end1, f.read_end1) == (s1, re1, rd1), (
+                nid, seqs, edges, read)
+        assert gm.score == score
+        assert gm.position == position
+        # our node-CIGAR reports ORIGINAL node ids: the reference's
+        # expanded ids must map back to exactly that path
+        ref_path = [(node_map[nid], cig) for nid, cig in node_cigars]
+        ours = [(nid, "".join(f"{l}{t}" for l, t in cig))
+                for nid, cig in zip(gm.node_ids, gm.node_cigars)]
+        assert ours == ref_path, (ours, ref_path, seqs, edges, read)
