@@ -82,6 +82,11 @@ def cmd_multigrmpy(argv):
     p.add_argument("--validate-schemas", action="store_true",
                    help="JSON-Schema validation of event graphs and "
                         "genotyping records (paragraph_tpu/schema/)")
+    p.add_argument("--genotyping-engine", default="host",
+                   choices=["host", "device"],
+                   help="host: per-event float64 parity engine; device: "
+                        "one sharded float32 mesh dispatch genotypes "
+                        "every (event x sample x breakpoint) of the run")
     _add_logging_args(p)
     args = p.parse_args(argv)
     _setup_logging(args)
@@ -113,6 +118,7 @@ def cmd_multigrmpy(argv):
         path_sequence_matching=args.path_sequence_matching,
         bad_align_uniq_kmer_len=args.bad_align_uniq_kmer_len,
         validate_schemas=args.validate_schemas,
+        gt_engine=args.genotyping_engine,
     )
     out = run(options)
     print(json.dumps(out))
@@ -141,6 +147,8 @@ def cmd_grmpy(argv):
     p.add_argument("--infer-read-haplotypes", action="store_true")
     p.add_argument("--progress", action="store_true",
                    help="periodic N/M-events-done progress lines")
+    p.add_argument("--genotyping-engine", default="host",
+                   choices=["host", "device"])
     _add_logging_args(p)
     args = p.parse_args(argv)
     _setup_logging(args)
@@ -157,6 +165,7 @@ def cmd_grmpy(argv):
         alignment_output_folder=args.alignment_output_folder.lstrip("!"),
         infer_read_haplotypes=args.infer_read_haplotypes,
         progress=args.progress,
+        gt_engine=args.genotyping_engine,
     )
     results = run_grmpy(graphs, args.reference, manifest, gt_params,
                         parameters)

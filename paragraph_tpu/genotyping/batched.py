@@ -90,6 +90,35 @@ def make_model_inputs(allele_names: Sequence[str], ploidy: int = 2,
     }
 
 
+def model_from_parameters(param) -> dict:
+    """Device-model tables from a GenotypingParameters object, with the
+    same per-allele defaults the float64 engine applies
+    (vectorized.py:55-74)."""
+    import math
+
+    a = param.num_alleles
+    gts = param.possible_genotypes
+    mat = np.zeros((len(gts), a), np.float32)
+    for i, gv in enumerate(gts):
+        for g in gv:
+            mat[i, g] += 1
+    eps = (list(param.allele_error_rates) if param.allele_error_rates
+           else [param.other_allele_error_rate] * a)
+    mu = (list(param.het_haplotype_fractions)
+          if param.het_haplotype_fractions
+          else [param.other_het_haplotype_fraction] * a)
+    prior = {tuple(gt): math.log(frac)
+             for gt, frac in param.genotype_fractions.items() if frac > 0}
+    logp = [prior.get(tuple(gv), 0.0) for gv in gts]
+    return {
+        "gt_ploidy": jnp.asarray(mat),
+        "error_rates": jnp.asarray(eps, jnp.float32),
+        "het_fractions": jnp.asarray(mu, jnp.float32),
+        "log_priors": jnp.asarray(logp, jnp.float32),
+        "gts": gts,
+    }
+
+
 def _normal_sf_upper(x, mean, sd):
     """P(X <= x) for Normal(mean, sd) via erfc (BreakpointGenotyper.cpp
     uses boost's normal cdf; float32 device analogue)."""

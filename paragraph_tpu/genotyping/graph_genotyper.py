@@ -128,24 +128,13 @@ class GraphBreakpointGenotyper:
             return self.male_ploidy
         return self.female_ploidy
 
-    def run_genotyping(self):
-        """GraphBreakpointGenotyper::runGenotyping
-        (GraphBreakpointGenotyper.cpp:47-103).
-
-        The per-(breakpoint × sample) likelihood evaluation runs through
-        the vectorized float64 engine (genotyping/vectorized.py) — one
-        batch per ploidy class instead of the reference's scalar loop —
-        with bitwise-identical results (tests/test_vectorized_genotyper
-        .py). PARAGRAPH_TPU_GT_ENGINE=scalar restores the loop.
-        """
-        import os
-
-        genotyper = BreakpointGenotyper(self.p_genotype_parameter)
-        male_genotyper = BreakpointGenotyper(self.p_male_genotype_parameter)
-        use_vectorized = os.environ.get(
-            "PARAGRAPH_TPU_GT_ENGINE", "vectorized") != "scalar"
-
-        jobs = {True: [], False: []}  # is_male_ploidy -> job list
+    def collect_jobs(self):
+        """Every (breakpoint × sample) genotyping work item:
+        [(samplename, bp_name, b_param, counts, is_male)]. The engines
+        below (and the device population engine,
+        genotyping/device_engine.py) evaluate these in batches and hand
+        results back via install_genotypes()."""
+        jobs = []
         for bp_name in self.breakpoint_names:
             for sample_index, samplename in enumerate(self.sample_names):
                 depth, read_length = self.depths[sample_index]
@@ -159,33 +148,16 @@ class GraphBreakpointGenotyper:
                     expected_depth, read_length,
                     self.depth_sds[sample_index],
                     self.p_genotype_parameter.use_poisson_depth)
-                is_male = sample_ploidy == self.male_ploidy
-                if use_vectorized:
-                    jobs[is_male].append(
-                        (samplename, bp_name, b_param, counts))
-                else:
-                    engine = male_genotyper if is_male else genotyper
-                    self.genotypes[(samplename, bp_name)] = engine.genotype(
-                        b_param, counts)
+                jobs.append((samplename, bp_name, b_param, counts,
+                             sample_ploidy == self.male_ploidy))
+        return jobs
 
-        if use_vectorized:
-            import numpy as np
-
-            from .vectorized import VectorizedBreakpointGenotyper
-
-            for is_male, job_list in jobs.items():
-                if not job_list:
-                    continue
-                param = (self.p_male_genotype_parameter if is_male
-                         else self.p_genotype_parameter)
-                vec = VectorizedBreakpointGenotyper(param)
-                results = vec.genotype_batch(
-                    [j[2] for j in job_list],
-                    np.asarray([j[3] for j in job_list], np.int64))
-                for (samplename, bp_name, _, _), gt in zip(
-                        job_list, results):
-                    self.genotypes[(samplename, bp_name)] = gt
-
+    def install_genotypes(self, by_key):
+        """Store per-(sample × breakpoint) genotypes computed by any
+        engine, then derive each sample's whole-variant combined
+        genotype (GraphBreakpointGenotyper.cpp:83-103)."""
+        self.genotypes.update(by_key)
+        genotyper = BreakpointGenotyper(self.p_genotype_parameter)
         for sample_index, samplename in enumerate(self.sample_names):
             all_bp_gts = GenotypeSet()
             for bp_name in self.breakpoint_names:
@@ -199,9 +171,57 @@ class GraphBreakpointGenotyper:
             self.genotypes[(samplename, "")] = combined_genotype(
                 all_bp_gts, b_param, genotyper)
 
+    def run_genotyping(self):
+        """GraphBreakpointGenotyper::runGenotyping
+        (GraphBreakpointGenotyper.cpp:47-103).
+
+        The per-(breakpoint × sample) likelihood evaluation runs through
+        the vectorized float64 engine (genotyping/vectorized.py) — one
+        batch per ploidy class instead of the reference's scalar loop —
+        with bitwise-identical results (tests/test_vectorized_genotyper
+        .py). PARAGRAPH_TPU_GT_ENGINE=scalar restores the loop; the
+        float32 device engine runs via genotyping/device_engine.py
+        (grmpy --genotyping-engine device), which batches jobs across
+        EVENTS, not per event like this path.
+        """
+        import os
+
+        use_vectorized = os.environ.get(
+            "PARAGRAPH_TPU_GT_ENGINE", "vectorized") != "scalar"
+        jobs = self.collect_jobs()
+        results = {}
+        if use_vectorized:
+            import numpy as np
+
+            from .vectorized import VectorizedBreakpointGenotyper
+
+            for is_male in (False, True):
+                job_list = [j for j in jobs if j[4] == is_male]
+                if not job_list:
+                    continue
+                param = (self.p_male_genotype_parameter if is_male
+                         else self.p_genotype_parameter)
+                vec = VectorizedBreakpointGenotyper(param)
+                batch = vec.genotype_batch(
+                    [j[2] for j in job_list],
+                    np.asarray([j[3] for j in job_list], np.int64))
+                for (samplename, bp_name, _, _, _), gt in zip(
+                        job_list, batch):
+                    results[(samplename, bp_name)] = gt
+        else:
+            genotyper = BreakpointGenotyper(self.p_genotype_parameter)
+            male_genotyper = BreakpointGenotyper(
+                self.p_male_genotype_parameter)
+            for samplename, bp_name, b_param, counts, is_male in jobs:
+                engine = male_genotyper if is_male else genotyper
+                results[(samplename, bp_name)] = engine.genotype(
+                    b_param, counts)
+        self.install_genotypes(results)
+
     def get_genotypes(self) -> dict:
         """GraphGenotyper::getGenotypes (GraphGenotyper.cpp:235-338)."""
-        self.run_genotyping()
+        if not self.genotypes:  # device engine installs them up front
+            self.run_genotyping()
         result = _deep_copy(self.basic_info)
         samples = result.setdefault("samples", {})
         for samplename in self.sample_names:

@@ -39,9 +39,13 @@ def initialize(coordinator_address: Optional[str] = None,
     # query before initialize() is an error by design
     if jax._src.distributed.global_state.client is not None:
         return
+    # raise the Gloo/coordination rendezvous window beyond the 30s
+    # default: co-located test processes under heavy machine load (and
+    # real pods with slow container starts) can take longer to dial in
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               initialization_timeout=300)
 
 
 def shard_events(n_events: int, process_id: Optional[int] = None,

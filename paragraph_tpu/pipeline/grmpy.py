@@ -37,7 +37,8 @@ class GrmpyParameters:
                  bad_align_uniq_kmer_len: int = 0,
                  alignment_output_folder: str = "",
                  infer_read_haplotypes: bool = False,
-                 progress: bool = False):
+                 progress: bool = False,
+                 gt_engine: str = "host"):
         self.threads = threads
         self.max_reads = max_reads
         self.bad_align_frac = bad_align_frac
@@ -49,6 +50,11 @@ class GrmpyParameters:
         self.alignment_output_folder = alignment_output_folder
         self.infer_read_haplotypes = infer_read_haplotypes
         self.progress = progress
+        #: "host" = float64 parity engines per event;
+        #: "device" = float32 population engine — one sharded mesh
+        #: dispatch genotypes every (event × sample × breakpoint) of
+        #: the run (genotyping/device_engine.py)
+        self.gt_engine = gt_engine
 
 
 def align_single_sample(parameters: GrmpyParameters, graph_desc: dict,
@@ -123,10 +129,12 @@ def _write_alignments_json(output, parameters, paragraph_parameters,
         json.dump(out, f, sort_keys=True, indent=4, separators=(",", ": "))
 
 
-def count_and_genotype(graph_desc: dict, reference_path: str,
-                       genotyping_parameters: Optional[dict],
-                       samples: List[SampleInfo]) -> dict:
-    """grmpy::countAndGenotype (CountAndGenotype.cpp:46-88)."""
+def make_event_genotyper(graph_desc: dict, reference_path: str,
+                         genotyping_parameters: Optional[dict],
+                         samples: List[SampleInfo]
+                         ) -> GraphBreakpointGenotyper:
+    """Breakpoint genotyper for one event with all sample alignments
+    added (the counting half of grmpy::countAndGenotype)."""
     root = graph_desc if graph_desc is not None else (
         samples[0].alignment_data)
     graph = SequenceGraph.from_json(root, reference_path)
@@ -145,7 +153,16 @@ def count_and_genotype(graph_desc: dict, reference_path: str,
     genotyper.set_parameters(genotyping_parameters)
     for sample_info in samples:
         genotyper.add_alignment(sample_info)
-    return genotyper.get_genotypes()
+    return genotyper
+
+
+def count_and_genotype(graph_desc: dict, reference_path: str,
+                       genotyping_parameters: Optional[dict],
+                       samples: List[SampleInfo]) -> dict:
+    """grmpy::countAndGenotype (CountAndGenotype.cpp:46-88)."""
+    return make_event_genotyper(graph_desc, reference_path,
+                                genotyping_parameters,
+                                samples).get_genotypes()
 
 
 def _make_paragraph_parameters(parameters: GrmpyParameters,
@@ -299,7 +316,11 @@ def run_grmpy(graph_descs: List[dict], reference_path: str,
     # (pipeline/parallel_grmpy.py): worker processes extract round k+1
     # and analyse round k-1 while the device scores round k. threads=1
     # forces the single-process path (the reference's -t semantics).
+    # The device genotyping engine needs the whole run's breakpoint
+    # jobs in the parent (one mesh dispatch), so it takes the batch
+    # path below instead.
     if (batch_events and len(graph_descs) >= 8 and parameters.threads != 1
+            and parameters.gt_engine != "device"
             and not parameters.alignment_output_folder):
         from concurrent.futures.process import BrokenProcessPool
 
@@ -342,6 +363,20 @@ def run_grmpy(graph_descs: List[dict], reference_path: str,
                 by_graph[key] = []
                 order.append((key, gd))
             by_graph[key].append(s)
+        if parameters.gt_engine == "device":
+            # population-scale device genotyping: count every event on
+            # the host, then genotype all (event × sample × breakpoint)
+            # jobs in one sharded float32 mesh dispatch
+            from ..genotyping.device_engine import genotype_events_on_device
+
+            genotypers = [make_event_genotyper(
+                gd, reference_path, genotyping_parameters, by_graph[key])
+                for key, gd in order]
+            genotype_events_on_device(genotypers)
+            for gtr in genotypers:
+                results.append(gtr.get_genotypes())
+                report_progress(len(results))
+            return results
         for key, gd in order:
             results.append(count_and_genotype(
                 gd, reference_path, genotyping_parameters, by_graph[key]))

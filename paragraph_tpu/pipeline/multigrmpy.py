@@ -55,6 +55,9 @@ class MultigrmpyOptions:
     # every event graph after conversion and every genotyping record
     # before writing; violations raise SchemaError with the JSON path
     validate_schemas: bool = False
+    # "host" = float64 parity engines; "device" = one sharded float32
+    # mesh dispatch for the whole run (genotyping/device_engine.py)
+    gt_engine: str = "host"
 
 
 def _file_sha256(path: str) -> str:
@@ -254,6 +257,7 @@ def run(options: MultigrmpyOptions) -> dict:
         kmer_sequence_matching=options.kmer_sequence_matching,
         bad_align_uniq_kmer_len=options.bad_align_uniq_kmer_len,
         infer_read_haplotypes=options.infer_read_haplotypes,
+        gt_engine=options.gt_engine,
     )
     if options.write_alignments:
         alignment_dir = os.path.join(options.output, "alignments")

@@ -92,3 +92,58 @@ def test_combined_consensus_batch_fast_path():
         best.astype(np.int32), pass_mask, has_gt)
     assert consensus.tolist() == [2, -1, -1, 1]
     assert conflict.tolist() == [False, True, False, False]
+
+
+def test_device_engine_end_to_end(tmp_path):
+    """grmpy --genotyping-engine device: the whole-run sharded float32
+    pass must reproduce the float64 host engine's confident genotypes
+    end-to-end on the multi-sample round-trip fixture (documented
+    tolerance: identical GT/filters for every call; GLs to float32)."""
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from make_workload import generate
+
+    from paragraph_tpu.pipeline.multigrmpy import MultigrmpyOptions, run
+
+    wl = str(tmp_path / "wl")
+    generate(wl, n_events=8, depth=30, seed=9)
+
+    outs = {}
+    for engine in ("host", "device"):
+        result = run(MultigrmpyOptions(
+            input=os.path.join(wl, "candidates.vcf"),
+            manifest=os.path.join(wl, "samples.txt"),
+            reference=os.path.join(wl, "ref.fa"),
+            output=os.path.join(wl, f"out_{engine}"),
+            split_type="superloci",
+            gt_engine=engine,
+        ))
+        import gzip
+        outs[engine] = _json.load(
+            gzip.open(result["genotypes_json"], "rt"))
+
+    assert len(outs["host"]) == len(outs["device"])
+    n_checked = 0
+    for rh, rd in zip(outs["host"], outs["device"]):
+        for sname, sh in rh["samples"].items():
+            sd = rd["samples"][sname]
+            gt_h, gt_d = sh["gt"], sd["gt"]
+            # confident host calls must match exactly on device
+            if gt_h.get("GQ", 0) >= 10 and "PASS" in gt_h.get(
+                    "filters", []):
+                assert gt_d["GT"] == gt_h["GT"], (rh.get("graphinfo"),
+                                                  gt_h, gt_d)
+                n_checked += 1
+            for bp_name, bp_h in sh.get("breakpoints", {}).items():
+                bp_d = sd["breakpoints"][bp_name]
+                assert bp_d["counts"] == bp_h["counts"]
+                gh, gd = bp_h["gt"], bp_d["gt"]
+                if gh.get("GQ", 0) >= 10:
+                    assert gd["GT"] == gh["GT"], (bp_name, gh, gd)
+                for k, v in gh.get("GL", {}).items():
+                    assert abs(gd["GL"][k] - v) <= max(
+                        5e-3, 2e-4 * abs(v)), (bp_name, k, gh, gd)
+    assert n_checked > 0
