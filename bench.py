@@ -85,6 +85,9 @@ def bench_device(g, reads, repeats=3):
             for h in handles:
                 sw.finalize_pairs(h)
             elapsed = min(elapsed, (time.perf_counter() - t0) / depth)
+        report = sw.engine_report()
+        print(f"KERNEL_STATS {json.dumps(report)}", file=sys.stderr,
+              flush=True)
         return cells / elapsed, elapsed
 
     from paragraph_tpu.align.graph_aligner import reverse_complement
@@ -217,8 +220,15 @@ def main():
         out["failed"] = True
         out["failure"] = ("TPU unavailable or watchdog timeout; value is "
                           "the CPU fallback and NOT comparable to baseline")
+    elif baseline and vs < 30:
+        # regression gate: the kernel has measured >=100x across rounds
+        # (r02 152x, r03 115x); below 30x something is broken even
+        # accounting for tunnel-latency noise
+        out["failed"] = True
+        out["failure"] = (f"kernel throughput regression: {vs:.1f}x "
+                          "baseline (threshold 30x)")
     print(json.dumps(out))
-    if not tpu_ok:
+    if out.get("failed"):
         sys.exit(1)
 
 

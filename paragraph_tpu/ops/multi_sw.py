@@ -521,9 +521,21 @@ class PairedGraphSW:
 
     COL_BUDGET = 12288
 
+    #: VPU-utilization model for engine_report(): the int32 column loop
+    #: runs ~35 vector ops per DP cell (diagonal shift, profile add/max,
+    #: log-time F prefix scan ≈ log2(M) shift+max pairs, E update, packed
+    #: end tracking); peak taken as 4e12 int32 ops/s/core (8×128 lanes ×
+    #: ~4 ALUs × ~0.94GHz) — override via PARAGRAPH_TPU_VPU_PEAK_OPS.
+    OPS_PER_CELL = 35
+
     def __init__(self, graphs: Sequence[SequenceGraph],
                  tile_batch: int = DEFAULT_TB, interpret: bool = False,
                  col_budget: int = COL_BUDGET):
+        #: per-run observability: every dispatch's issued work and the
+        #: host-blocking device wait, so production runs surface device
+        #: time and cells/s instead of hiding regressions (VERDICT r03)
+        self.stats = {"dispatches": 0, "cells": 0, "lanes": 0,
+                      "device_wait_s": 0.0, "dispatch_host_s": 0.0}
         built = {}
 
         def build(g):
@@ -582,6 +594,9 @@ class PairedGraphSW:
                 a.is_last, a.pred_tables)))
 
     def _dispatch(self, chunk_i: int, reads_per_pair, pad_to: int):
+        import time as _time
+
+        t_host = _time.perf_counter()
         tb = self.tile_batch
         a = self.chunk_arrays[chunk_i]
         # tile/base budgets: fixed floor, pow2 growth for oversize read
@@ -604,6 +619,11 @@ class PairedGraphSW:
             *dev, *tables,
             L=len(a.ref_codes), L_ev=t["l_ev"], N=a.n_max, P=a.p_max,
             M=t["m"], TB=tb, interpret=self.interpret)
+        self.stats["dispatches"] += 1
+        self.stats["cells"] += int(
+            t["tile_col_len"].astype(np.int64).sum()) * tb * t["m"]
+        self.stats["lanes"] += len(t["col_idx"])
+        self.stats["dispatch_host_s"] += _time.perf_counter() - t_host
         return out, t["layout"]
 
     def score_pairs_device(self, reads_per_pair: Sequence[List[str]],
@@ -630,13 +650,35 @@ class PairedGraphSW:
             self.score_pairs_device(reads_per_pair, pad_to))
 
     def finalize_pairs(self, handle):
+        import time as _time
+
         pending, n_pairs = handle
         results = [None] * n_pairs
         for chunk_i, idxs, out, layout in pending:
             a = self.chunk_arrays[chunk_i]
+            t0 = _time.perf_counter()
             vals = np.asarray(out)  # single [4, B] fetch per chunk
+            self.stats["device_wait_s"] += _time.perf_counter() - t0
             slice_pair_outputs(a, vals, layout, idxs, results)
         return results
+
+    def engine_report(self) -> dict:
+        """Per-run kernel observability: issued DP cells, host-blocking
+        device wait, effective cells/s over that wait, and a VPU
+        utilization estimate (OPS_PER_CELL model above). The wait is a
+        LOWER bound on device time when finalize overlaps host work, so
+        cells_per_wait_s is an upper bound on true kernel throughput."""
+        import os as _os
+
+        wait = self.stats["device_wait_s"]
+        cells_per_s = self.stats["cells"] / wait if wait > 0 else 0.0
+        peak = float(_os.environ.get(
+            "PARAGRAPH_TPU_VPU_PEAK_OPS", 4e12))
+        return {
+            **self.stats,
+            "cells_per_wait_s": cells_per_s,
+            "vpu_util_est": cells_per_s * self.OPS_PER_CELL / peak,
+        }
 
 
 class MultiGraphSW:

@@ -246,6 +246,8 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
                     _extract_event, gi, graph_descs[gi], reference_path,
                     bam_specs, parameters.max_reads)
 
+        kernel_stats: Dict[str, float] = {}
+
         def finalize_and_analyze(pending) -> None:
             r, sw, handle, blobs_by_event = pending
             t0 = time.perf_counter()
@@ -253,6 +255,8 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
             if handle is not None:
                 try:
                     scores = sw.finalize_pairs(handle)
+                    for k, v in getattr(sw, "stats", {}).items():
+                        kernel_stats[k] = kernel_stats.get(k, 0) + v
                 except (RuntimeError, NotImplementedError, OSError) as exc:
                     logger.warning(
                         "device scoring failed for round %d (%s: %s); "
@@ -345,6 +349,14 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
         _clock("analysis_wait", t0)
         logger.info("[pipeline] stage seconds: %s",
                     {k: round(v, 2) for k, v in sorted(stage_t.items())})
+        if kernel_stats.get("dispatches"):
+            wait = kernel_stats.get("device_wait_s", 0.0)
+            cells = kernel_stats.get("cells", 0)
+            logger.info(
+                "[kernel] dispatches=%d cells=%.2fG device_wait=%.2fs "
+                "eff=%.1f Gcells/s (upper bound; see engine_report)",
+                kernel_stats["dispatches"], cells / 1e9, wait,
+                cells / wait / 1e9 if wait > 0 else 0.0)
     finally:
         for ex in pools:
             ex.shutdown(wait=False, cancel_futures=True)

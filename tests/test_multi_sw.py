@@ -50,3 +50,33 @@ def test_multi_event_batch():
             assert end_ref[i] == f.ref_end1
             assert end_read[i] == f.read_end1
             assert bool(m_multi[i]) == s_multi
+
+
+def test_engine_report_accounting():
+    """Per-dispatch observability: issued cells, device wait, and the
+    derived throughput/utilization numbers must be populated and
+    consistent (regression gate for the TPU number lives in bench.py)."""
+    import numpy as np
+
+    from paragraph_tpu.graph.model import SequenceGraph
+    from paragraph_tpu.ops.multi_sw import PairedGraphSW
+
+    rng = np.random.RandomState(3)
+    seq = lambda n: "".join("ACGT"[i] for i in rng.randint(0, 4, n))
+    g = SequenceGraph(["a", "b", "c"], [seq(60), seq(30), seq(60)])
+    g.add_edge(0, 1)
+    g.add_edge(0, 2)
+    g.add_edge(1, 2)
+    reads = [seq(40) for _ in range(5)]
+
+    sw = PairedGraphSW([g], interpret=True)
+    sw.score_pairs([reads])
+    rep = sw.engine_report()
+    assert rep["dispatches"] >= 1
+    # at least the real work: 4 orientations x reads x cols x stripe len
+    a = sw.chunk_arrays[0]
+    real = 2 * len(reads) * (a.col_len[0] + a.col_len[1]) * 48
+    assert rep["cells"] >= real
+    assert rep["device_wait_s"] > 0
+    assert rep["cells_per_wait_s"] > 0
+    assert 0 <= rep["vpu_util_est"]
