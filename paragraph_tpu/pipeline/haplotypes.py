@@ -167,6 +167,100 @@ def greedy_merge(paths: List[LitePath]) -> None:
                 break
 
 
+def exhaustive_merge(graph: SequenceGraph,
+                     paths: List[LitePath]) -> List[LitePath]:
+    """exhaustiveMerge (PathOperations.cpp:564-626); in place.
+
+    Unlike greedy_merge, every overlapping pair yields its merge while
+    BOTH originals stay in the pool (unless one contains the other), so
+    all combinations of left/right extensions materialise — converging
+    when a full pass produces no new merge. Containment is detected by
+    encode() equality, exactly like the reference."""
+    has_merged = True
+    while has_merged and len(paths) > 1:
+        has_merged = False
+        new_paths: List[LitePath] = []
+        for ai, a in enumerate(paths):
+            for bi, b in enumerate(paths):
+                if bi == ai:
+                    continue
+                if check_prefix_suffix_overlap(a, b):
+                    merged = merge_paths(a, b)
+                    a_in_b = merged.encode(graph) == b.encode(graph)
+                    b_in_a = merged.encode(graph) == a.encode(graph)
+                    if a_in_b and b_in_a:
+                        new_paths.append(b)
+                    elif a_in_b or b_in_a:
+                        new_paths.append(merged)
+                    else:
+                        new_paths.extend((merged, a, b))
+                    has_merged = True
+                else:
+                    new_paths.append(b)
+            if has_merged:
+                break
+            new_paths.append(a)
+        if has_merged:
+            paths[:] = new_paths
+    return paths
+
+
+def intersect_paths(graph: SequenceGraph, p1: LitePath,
+                    p2: LitePath) -> List[LitePath]:
+    """intersectPaths (PathOperations.cpp:628-720): maximal sub-paths
+    covered by BOTH paths, walking the two sorted node lists in lock
+    step and clipping each shared node to the offset overlap. A match
+    that starts mid-node, follows a non-edge, or ends mid-node closes
+    the current piece."""
+    result: List[LitePath] = []
+    nodes: List[int] = []
+    start = end = -1
+
+    def flush():
+        nonlocal nodes, start, end
+        if nodes:
+            result.append(LitePath(nodes, start, end))
+            nodes = []
+            start = end = -1
+
+    i1 = i2 = 0
+    n1, n2 = p1.nodes, p2.nodes
+    while i1 < len(n1) and i2 < len(n2):
+        if n1[i1] < n2[i2]:
+            flush()
+            i1 += 1
+        elif n1[i1] > n2[i2]:
+            flush()
+            i2 += 1
+        else:
+            node = n1[i1]
+            size = len(graph.node_seq(node))
+            s1 = p1.start if i1 == 0 else 0
+            s2 = p2.start if i2 == 0 else 0
+            e1 = p1.end if i1 == len(n1) - 1 else size - 1
+            e2 = p2.end if i2 == len(n2) - 1 else size - 1
+            s = max(s1, s2)
+            e = min(e1, e2)
+            if s <= e:
+                if s > 0:
+                    flush()
+                if not nodes:
+                    start = s
+                elif not graph.has_edge(nodes[-1], node):
+                    flush()
+                    start = s
+                end = e
+                nodes.append(node)
+                if e + 1 < size:
+                    flush()
+            elif nodes:
+                flush()
+            i1 += 1
+            i2 += 1
+    flush()
+    return result
+
+
 def path_contains(edges: Set[Tuple[int, int]], out_nodes: Set[int],
                   in_nodes: Set[int], nodes: List[int]) -> bool:
     """PathFamily::containsPath (graph-tools PathFamily.cpp:89-107)."""
