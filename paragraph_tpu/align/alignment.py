@@ -19,60 +19,59 @@ _QUERY_OPS = set("MXNIS")
 _REF_OPS = set("MXND")
 
 
-@dataclass
 class NodeAlignment:
-    reference_start: int
-    ops: List[Tuple[int, str]]
+    """Per-node linear alignment with counts computed once up front.
 
-    # the host analysis stages (filters, disambiguation, counting,
-    # statistics) each read several count properties per node; one pass
-    # over ops fills all six counters and is cached until ops changes
-    def _counts(self) -> dict:
-        memo = getattr(self, "_counts_memo", None)
-        if memo is not None and memo[0] is self.ops:
-            return memo[1]
-        c = {"M": 0, "X": 0, "N": 0, "S": 0, "I": 0, "D": 0}
-        for l, t in self.ops:
-            c[t] += l
-        self._counts_memo = (self.ops, c)
-        return c
+    The host analysis stages (filters, disambiguation, counting,
+    statistics) read the count attributes several times per node, so
+    one pass over ops at construction beats lazy per-property sums.
+    ops must not be mutated after construction (nothing in the
+    pipeline does; gssw traceback builds its own op runs first)."""
+
+    __slots__ = ("reference_start", "ops", "num_matched",
+                 "num_mismatched", "num_missing", "num_clipped",
+                 "num_inserted", "num_deleted", "query_length",
+                 "reference_length")
+
+    def __init__(self, reference_start: int, ops: List[Tuple[int, str]]):
+        self.reference_start = reference_start
+        self.ops = ops
+        m = x = n = s = i = d = 0
+        for l, t in ops:
+            if t == "M":
+                m += l
+            elif t == "X":
+                x += l
+            elif t == "N":
+                n += l
+            elif t == "S":
+                s += l
+            elif t == "I":
+                i += l
+            else:
+                d += l
+        self.num_matched = m
+        self.num_mismatched = x
+        self.num_missing = n
+        self.num_clipped = s
+        self.num_inserted = i
+        self.num_deleted = d
+        self.query_length = m + x + n + i + s
+        self.reference_length = m + x + n + d
 
     def _count(self, op: str) -> int:
-        return self._counts()[op]
+        return {"M": self.num_matched, "X": self.num_mismatched,
+                "N": self.num_missing, "S": self.num_clipped,
+                "I": self.num_inserted, "D": self.num_deleted}[op]
 
-    @property
-    def num_matched(self) -> int:
-        return self._counts()["M"]
+    def __eq__(self, other):
+        return (isinstance(other, NodeAlignment)
+                and self.reference_start == other.reference_start
+                and self.ops == other.ops)
 
-    @property
-    def num_mismatched(self) -> int:
-        return self._counts()["X"]
-
-    @property
-    def num_missing(self) -> int:
-        return self._counts()["N"]
-
-    @property
-    def num_clipped(self) -> int:
-        return self._counts()["S"]
-
-    @property
-    def num_inserted(self) -> int:
-        return self._counts()["I"]
-
-    @property
-    def num_deleted(self) -> int:
-        return self._counts()["D"]
-
-    @property
-    def query_length(self) -> int:
-        c = self._counts()
-        return c["M"] + c["X"] + c["N"] + c["I"] + c["S"]
-
-    @property
-    def reference_length(self) -> int:
-        c = self._counts()
-        return c["M"] + c["X"] + c["N"] + c["D"]
+    def __repr__(self):
+        return (f"NodeAlignment(reference_start="
+                f"{self.reference_start}, ops={self.ops!r})")
 
     def generate_cigar(self) -> str:
         return "".join(f"{l}{t}" for l, t in self.ops)

@@ -47,7 +47,7 @@ DEFAULT_TB = 128
 # (the round-2 behaviour) multiplied that into minutes of apparent
 # "device time" on multi-event runs.
 TILE_BUDGET = 256          # grid size per launch (bench-validated)
-PAIR_BUDGET = 16           # pairs per chunk -> pred_tables E = 32 fixed
+PAIR_BUDGET = 24           # pairs per chunk -> pred_tables E = 48 fixed
 L_EV_FLOOR = 2048          # packed end-tracking column-bit budget
 M_FLOOR = 160              # read-length stripe floor (150bp + bucket)
 
@@ -519,7 +519,7 @@ class PairedGraphSW:
     forward graph and r_out for their reversals vs the reversed graph.
     """
 
-    COL_BUDGET = 12288
+    COL_BUDGET = 24576
 
     #: VPU-utilization model for engine_report(): the int32 column loop
     #: runs ~35 vector ops per DP cell (diagonal shift, profile add/max,

@@ -285,42 +285,57 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
 
         pending_score = None
         submit_extract(0)
+        def build_sw(r: int):
+            """Scorer for round r. Graphs derive from the descriptions
+            alone, so construction (GraphArrays build + resident device
+            uploads) can run while the round's extraction is still in
+            flight in the workers."""
+            if not needs_align:
+                return None
+            graphs = []
+            for gi in rounds[r]:
+                graph = SequenceGraph.from_json(
+                    _root_desc(graph_descs[gi]), reference_path)
+                graphs.extend([graph] * len(needs_align))
+            try:
+                if use_sharded:
+                    from ..parallel.distributed import ShardedPairedSW
+
+                    return ShardedPairedSW(graphs)
+                return PairedGraphSW(graphs)
+            except (RuntimeError, NotImplementedError, OSError) as exc:
+                logger.warning(
+                    "device scorer construction failed for round %d "
+                    "(%s: %s); workers will score with the scan engine",
+                    r, type(exc).__name__, exc)
+                return None
+
+        t0 = time.perf_counter()
+        prebuilt_sw = {0: build_sw(0)} if rounds else {}
+        _clock("graph_build", t0)
         for r in range(len(rounds)):
             if r + 1 < len(rounds):
                 submit_extract(r + 1)
+            sw = prebuilt_sw.pop(r, None)
             t0 = time.perf_counter()
             blobs_by_event = {gi: extract_futs.pop(gi).result()
                               for gi in rounds[r]}
             t0 = _clock("extract_wait", t0)
 
-            # one scoring pair per (event × sample): graph objects are
-            # shared per event, so GraphArrays build once per graph
-            graphs = []
+            # one scoring batch per (event × sample), in the same pair
+            # order build_sw laid the graphs out
             batches = []
             for gi in rounds[r]:
-                graph = None
                 for s in needs_align:
                     blob, lens = blobs_by_event[gi][s.sample_name]
-                    if graph is None:
-                        graph = SequenceGraph.from_json(
-                            _root_desc(graph_descs[gi]), reference_path)
-                    graphs.append(graph)
                     text = blob.decode()
                     ends = lens.cumsum()
                     batches.append([text[e - l:e]
                                     for l, e in zip(lens, ends)])
-            t0 = _clock("graph_build", t0)
 
-            sw = None
             handle = None
-            if graphs:
+            if sw is not None:
                 try:
-                    if use_sharded:
-                        from ..parallel.distributed import ShardedPairedSW
-
-                        sw = ShardedPairedSW(graphs)
-                    else:
-                        sw = PairedGraphSW(graphs)
                     handle = sw.score_pairs_device(batches)
                 except (RuntimeError, NotImplementedError, OSError) as exc:
                     logger.warning(
@@ -333,6 +348,13 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
             if pending_score is not None:
                 finalize_and_analyze(pending_score)
             pending_score = (r, sw, handle, blobs_by_event)
+
+            # overlap the NEXT round's scorer construction with its
+            # extraction and with the device crunching round r
+            if r + 1 < len(rounds):
+                t0 = time.perf_counter()
+                prebuilt_sw[r + 1] = build_sw(r + 1)
+                _clock("graph_build", t0)
 
             done = sum(1 for f in analysis_futs if f is not None
                        and f.done())
