@@ -248,17 +248,34 @@ class GraphSW:
 
     # ---------------- traceback ----------------
 
+    def trace_back_pinned(self, fills: List[NodeFill], pinned_node: int,
+                          read: str) -> GraphMapping:
+        """gssw_graph_trace_back_pinned (gssw.h:487-494): the traceback
+        is anchored at the cell where the read's LAST base aligns to the
+        LAST base of `pinned_node`, instead of the global maximum —
+        the walk back through the filled matrices is identical."""
+        read = read.upper()
+        f = fills[pinned_node]
+        ref_end = len(self.node_seqs[pinned_node]) - 1
+        read_end = len(read) - 1
+        return self._trace_from(fills, pinned_node, ref_end, read_end,
+                                read)
+
     def trace_back(self, fills: List[NodeFill], max_node: int,
                    read: str) -> GraphMapping:
+        f = fills[max_node]
+        return self._trace_from(fills, max_node, f.ref_end1, f.read_end1,
+                                read)
+
+    def _trace_from(self, fills: List[NodeFill], n_id: int,
+                    ref_end: int, read_end: int, read: str
+                    ) -> GraphMapping:
         read = read.upper()
         m = len(read)
         gapO, gapE = self.gap_open, self.gap_extend
         mat = self.mat
 
-        n_id = max_node
         f = fills[n_id]
-        ref_end = f.ref_end1
-        read_end = f.read_end1
         if ref_end < 0 or read_end < 0:
             score = 0
         else:
@@ -440,3 +457,128 @@ class GraphSW:
         multi = self.ends_at_multiple_nodes(fills, max_score)
         gm = self.trace_back(fills, max_node, read)
         return gm, multi
+
+    def align_pinned(self, read: str, pinned_node: int) -> GraphMapping:
+        """gssw_graph_trace_back_pinned equivalent: best alignment whose
+        last read base sits on the last base of `pinned_node`."""
+        fills, _, _ = self.fill(read)
+        return self.trace_back_pinned(fills, pinned_node, read)
+
+    def align_pinned_multi(self, read: str, pinned_node: int,
+                           num_tracebacks: int,
+                           max_expansions: int = 200000
+                           ) -> List[GraphMapping]:
+        """gssw_graph_trace_back_pinned_multi (gssw.h:506-516)
+        equivalent: the `num_tracebacks` highest-scoring DISTINCT
+        alignments ending with the read's final base on the final base
+        of `pinned_node`, in descending score order.
+
+        Exact branch-and-bound over the filled DP: paths are enumerated
+        backward from the pinned cell, using each cell's H value — the
+        best score of ANY alignment ending there — as an admissible
+        completion bound, so only paths competitive with the current
+        k-th best are expanded. Alignments start and end on
+        match/mismatch ops (the read prefix above the start soft-clips),
+        matching gssw's traceback shape.
+        """
+        import heapq
+
+        read_u = read.upper()
+        read_num = _NT[np.frombuffer(read_u.encode(), dtype=np.uint8)]
+        m = len(read_num)
+        if m == 0 or not self.node_seqs[pinned_node]:
+            return []
+        fills, _, _ = self.fill(read_u)
+        mat = self.mat
+        gapO, gapE = self.gap_open, self.gap_extend
+        # completed alignments: min-heap of (score, tiebreak, payload)
+        heap: List = []
+        counter = [0]
+        expansions = [0]
+
+        def offer(score, trail):
+            counter[0] += 1
+            item = (score, -counter[0], trail)
+            if len(heap) < num_tracebacks:
+                heapq.heappush(heap, item)
+            elif score > heap[0][0]:
+                heapq.heapreplace(heap, item)
+
+        def kth_best():
+            return heap[0][0] if len(heap) == num_tracebacks else None
+
+        def preds_cells(node, i):
+            """Cells one ref-step left of (node, i): same node or the
+            last column of each predecessor when i == 0."""
+            if i > 0:
+                return [(node, i - 1)]
+            return [(p, len(self.node_seqs[p]) - 1)
+                    for p in self.preds[node]]
+
+        def walk(node, i, j, suffix, trail, last_op, gaps_ok=True):
+            """Extend the alignment one op backward; the next op
+            consumes cell (node, i, j). trail is a linked list
+            (op, node, ref_i, prev) with the alignment's FIRST op at
+            its head."""
+            if expansions[0] > max_expansions or i < 0 or j < 0:
+                return
+            expansions[0] += 1
+            k = kth_best()
+            # H[i, j] = best score of ANY alignment ending at this cell:
+            # an exact admissible bound for the remaining prefix
+            if k is not None and suffix + int(fills[node].H[i, j]) <= k:
+                return
+            # diagonal M/X consuming ref i + read j
+            rc = int(self.node_nums[node][i])
+            qc = int(read_num[j])
+            s = int(mat[rc, qc])
+            op = "M" if (rc == qc and qc < 4) else "X"
+            new_trail = (op, node, i, trail)
+            total = suffix + s
+            if s > 0 and (k is None or total > k):
+                offer(total, new_trail)  # alignment may start here
+            if j - 1 >= 0:
+                for pn, pi in preds_cells(node, i):
+                    walk(pn, pi, j - 1, total, new_trail, op)
+            if not gaps_ok:
+                return
+            # read gap (I): consumes read j only, stays on ref i
+            cost = -(gapE if last_op == "I" else gapO)
+            walk(node, i, j - 1, suffix + cost,
+                 ("I", node, i, trail), "I")
+            # ref gap (D): consumes ref i only, stays on read j
+            cost = -(gapE if last_op == "D" else gapO)
+            for pn, pi in preds_cells(node, i):
+                walk(pn, pi, j, suffix + cost,
+                     ("D", node, i, trail), "D")
+
+        # the pinned cell: last read base on the last node base, and
+        # the final op is by definition a diagonal one
+        walk(pinned_node, len(self.node_seqs[pinned_node]) - 1, m - 1,
+             0, None, "", gaps_ok=False)
+
+        out = []
+        for score, _tb, trail in sorted(heap, reverse=True):
+            ops = []  # alignment order: trail head is the first op
+            cur = trail
+            while cur is not None:
+                op, node, i, prev = cur
+                ops.append((op, node, i))
+                cur = prev
+            _, _, start_i, _ = trail
+            gm = GraphMapping(score=score)
+            gm.position = start_i
+            node_ids: List[int] = []
+            cigars: List[_Cigar] = []
+            for op, node, i in ops:
+                if not node_ids or node_ids[-1] != node:
+                    node_ids.append(node)
+                    cigars.append(_Cigar())
+                cigars[-1].push_back(op, 1)
+            j_start = m - sum(1 for op, _, _ in ops if op in "MXI")
+            if j_start > 0:
+                cigars[0].push_front("S", j_start)
+            gm.node_ids = node_ids
+            gm.node_cigars = [c.ops for c in cigars]
+            out.append(gm)
+        return out

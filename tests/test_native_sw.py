@@ -125,3 +125,60 @@ def test_banded_rejects_wrong_score():
     want = nat.align("TTTTCCCCGGGG")
     got = nat.align_at("TTTTCCCCGGGG", 2, 3, 11, 9999)
     assert got == (want[0], want[1], want[3])
+
+
+def test_pinned_traceback_matches_full_when_max_at_pin():
+    """align_pinned (gssw_graph_trace_back_pinned, gssw.h:487-494): when
+    the global optimum ends on the pinned node's last base, the pinned
+    traceback reproduces the ordinary one."""
+    from paragraph_tpu.align.gssw import GraphSW
+    from paragraph_tpu.graph.model import SequenceGraph
+
+    g = SequenceGraph(["a", "b", "c"], ["ACGTAC", "GGAT", "TTCA"])
+    g.add_edge(0, 1)
+    g.add_edge(0, 2)
+    g.add_edge(1, 2)
+    sw = GraphSW(g)
+    read = "TACGGATTTCA"  # ends exactly at node c's last base
+    gm_full, _ = sw.align(read)
+    gm_pin = sw.align_pinned(read, 2)
+    assert gm_pin.score == gm_full.score
+    assert gm_pin.node_ids == gm_full.node_ids
+    assert gm_pin.node_cigars == gm_full.node_cigars
+
+    # pinning on node b forces a different endpoint
+    gm_b = sw.align_pinned("ACGTACGGAT", 1)
+    assert gm_b.node_ids[-1] == 1
+    assert gm_b.score == 10  # full-length match ending on b's last base
+
+    # a pin with no positive-scoring alignment yields the empty mapping
+    gm_zero = sw.align_pinned("GGGGGGGG", 1)
+    assert gm_zero.score == 0
+
+
+def test_pinned_multi_traceback_ordering_and_distinctness():
+    """align_pinned_multi (gssw_graph_trace_back_pinned_multi,
+    gssw.h:506-516): descending scores, all distinct, all ending with
+    the read's last base on the pinned node's last base, and the top
+    one agreeing with the single pinned traceback's score."""
+    from paragraph_tpu.align.gssw import GraphSW
+    from paragraph_tpu.graph.model import SequenceGraph
+
+    g = SequenceGraph(["a", "b"], ["ACGTACGT", "GATTAC"])
+    g.add_edge(0, 1)
+    sw = GraphSW(g)
+    read = "CGTGATTAC"
+    outs = sw.align_pinned_multi(read, 1, 5)
+    assert outs, "no pinned tracebacks found"
+    scores = [o.score for o in outs]
+    assert scores == sorted(scores, reverse=True)
+    keys = {(tuple(o.node_ids),
+             tuple(tuple(c) for c in o.node_cigars)) for o in outs}
+    assert len(keys) == len(outs)
+    for o in outs:
+        assert o.node_ids[-1] == 1
+        # last op consumes the node's final base and the read's final
+        # base: by construction a match/mismatch, never a clip
+        assert o.node_cigars[-1][-1][1] in "MX"
+    best = sw.align_pinned(read, 1)
+    assert outs[0].score == best.score
