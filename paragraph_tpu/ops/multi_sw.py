@@ -11,10 +11,12 @@ with its DP state in VMEM. One launch scores an entire event batch.
 Node ids are event-local, so the boundary-state scratch stays
 [N_max+1, M, TB]; predecessor tables stack per event.
 
-The column-loop body mirrors ops/pallas_sw.py: register-level sublane
-rolls for the diagonal shift and F prefix scan, running per-cell packed
-(score | column | read-row) end tracking (no per-column reductions), and
-per-node maxima reduced once per node. See that module's docstring.
+The column-loop body follows ops/pallas_sw.py's DP formulation
+(register-level sublane rolls for the diagonal shift and F prefix scan,
+packed (score | column | read-row) end tracking) but collapses the
+tracking state to (1, TB) per-column row reductions — see
+_make_kernel's docstring and docs/ROOFLINE.md for why that is the
+op-minimal shape at the VPU issue ceiling.
 """
 from __future__ import annotations
 
@@ -126,7 +128,18 @@ def _make_kernel(L: int, L_ev: int, N: int, P: int, M: int, TB: int,
     """L is the concatenated column-stream length; L_ev bounds any single
     event's column count — the packed end-tracking word stores the
     *event-local* column index so its bit budget is independent of how
-    many events share the launch."""
+    many events share the launch.
+
+    Column-loop structure (round-5 trim; see docs/ROOFLINE.md for the
+    measurement story): H/E stay in VMEM refs with pl.when seeding, but
+    node/best tracking collapses to (1, TB) refs via per-column row
+    reductions instead of running (M, TB) tiles; E drops its zero clamp
+    — output-equivalent, because E<=0 never beats the zero-clamped H
+    path (hp = max(diag+prof, 0) >= 0 absorbs any negative E) and
+    max(e, 0) commutes through both the E recurrence and the
+    elementwise-max predecessor seeding; g/f constants fold into
+    precomputed row tiles. Verified bit-exact against the round-4
+    kernel and the gssw differential suite."""
     dt = jnp.int32
     bits = pack_bits(L_ev, M, match)
     assert bits is not None, "scores overflow packed tracking"
@@ -147,13 +160,14 @@ def _make_kernel(L: int, L_ev: int, N: int, P: int, M: int, TB: int,
                read_codes_ref, read_lens_ref, read_vlens_ref,
                score_ref, end_col_ref, end_read_ref, multi_ref,
                prof_ref, h_ref, e_ref, saved_h_ref, saved_e_ref,
-               node_run_ref, node_max_ref, best_ref):
+               nodecol_ref, node_max_ref, best_ref):
         t = pl.program_id(0)
         ev = tile_event_ref[t]
         c0 = tile_col_start_ref[t]
         clen = tile_col_len_ref[t]
         gapO = dt(gap_open)
         gapE = dt(gap_extend)
+        gOE = dt(gap_open - gap_extend)
 
         codes = read_codes_ref[:]
         lens = read_lens_ref[:]
@@ -169,14 +183,21 @@ def _make_kernel(L: int, L_ev: int, N: int, P: int, M: int, TB: int,
         stripe_mask = jj < vlens
         real_mask = jj < lens
         gterm = jj * gapE
+        gterm2 = gterm + (gapE - gapO)          # g = hp + gterm2
+        # f = max(roll(g,1) - gterm_m, 0): +BIG at row 0 kills the wrap
+        gterm_m = jnp.where(jj >= 1, gterm, _BIG)
         jterm = jmask - jj
+        # pad-row kill: packed candidates on non-stripe rows go very
+        # negative, so no per-column where() is needed
+        jterm_m = jnp.where(stripe_mask, jterm, -_BIG)
 
         h_ref[:] = jnp.zeros((M, TB), dt)
         e_ref[:] = jnp.zeros((M, TB), dt)
         saved_h_ref[:] = jnp.zeros((N + 1, M, TB), dt)
         saved_e_ref[:] = jnp.zeros((N + 1, M, TB), dt)
+        nodecol_ref[:] = jnp.zeros((1, TB), dt)
         node_max_ref[:] = jnp.zeros((N, 1, TB), jnp.int32)
-        best_ref[:] = jnp.zeros((M, TB), jnp.int32)
+        best_ref[:] = jnp.zeros((1, TB), jnp.int32)
 
         def col_body(i, _):
             ref_c = ref_codes_ref[i]
@@ -193,7 +214,7 @@ def _make_kernel(L: int, L_ev: int, N: int, P: int, M: int, TB: int,
                     se = jnp.maximum(se, saved_e_ref[pred_ref[ev, nid, p]])
                 h_ref[:] = sh
                 e_ref[:] = se
-                node_run_ref[:] = jnp.zeros((M, TB), dt)
+                nodecol_ref[:] = jnp.zeros((1, TB), dt)
 
             prof = prof_ref[ref_c]
             h_prev = h_ref[:]
@@ -201,33 +222,32 @@ def _make_kernel(L: int, L_ev: int, N: int, P: int, M: int, TB: int,
             diag = _shift_down(h_prev, 1, dt(0), jj)
             hp = jnp.maximum(diag + prof, dt(0))
             hp = jnp.maximum(hp, e_col)
-            g = hp - gapO + gterm + gapE
+            g = hp + gterm2
             for s_amt in log_steps:
                 g = jnp.maximum(g, _shift_down(g, s_amt, -_BIG, jj))
-            f = jnp.maximum(_shift_down(g, 1, -_BIG, jj) - gterm, dt(0))
+            f = jnp.maximum(pltpu.roll(g, 1, axis=0) - gterm_m, dt(0))
             h = jnp.maximum(hp, f)
-            e_next = jnp.maximum(jnp.maximum(e_col - gapE, h - gapO), dt(0))
+            e_next = jnp.maximum(e_col, h - gOE) - gapE
             h_ref[:] = h
             e_ref[:] = e_next
-            node_run_ref[:] = jnp.maximum(node_run_ref[:], h)
 
-            packed = (h << s1) + (((lmask - (i - c0)) << j_bits) + jterm)
+            packed = (h << s1) + (((lmask - (i - c0)) << j_bits) + jterm_m)
             best_ref[:] = jnp.maximum(
-                best_ref[:], jnp.where(stripe_mask, packed, 0))
+                best_ref[:], jnp.max(packed, axis=0, keepdims=True))
+            nodecol_ref[:] = jnp.maximum(nodecol_ref[:], jnp.max(
+                jnp.where(real_mask, h, 0), axis=0, keepdims=True))
 
             @pl.when(is_last)
             def _():
                 saved_h_ref[nid] = h
                 saved_e_ref[nid] = e_next
-                node_max_ref[nid] = jnp.max(
-                    jnp.where(real_mask, node_run_ref[:], 0),
-                    axis=0, keepdims=True)
+                node_max_ref[nid] = nodecol_ref[:]
 
             return 0
 
         jax.lax.fori_loop(c0, c0 + clen, col_body, 0)
 
-        final = jnp.max(best_ref[:], axis=0, keepdims=True)  # [1, TB]
+        final = best_ref[:]                      # [1, TB]
         cur_max = final >> s1
         end_col = c0 + (lmask - ((final >> j_bits) & lmask))
         first_j = jmask - (final & jmask)
@@ -282,9 +302,9 @@ def multi_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
             pltpu.VMEM((M, TB), state_dt),
             pltpu.VMEM((N + 1, M, TB), state_dt),
             pltpu.VMEM((N + 1, M, TB), state_dt),
-            pltpu.VMEM((M, TB), state_dt),  # per-node running max
+            pltpu.VMEM((1, TB), state_dt),  # per-node column max
             pltpu.VMEM((N, 1, TB), jnp.int32),  # node max (real lanes)
-            pltpu.VMEM((M, TB), jnp.int32),  # running packed best
+            pltpu.VMEM((1, TB), jnp.int32),  # running packed best
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((1, B), jnp.int32) for _ in range(4)]
@@ -364,9 +384,9 @@ def paired_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
             pltpu.VMEM((M, TB), state_dt),
             pltpu.VMEM((N + 1, M, TB), state_dt),
             pltpu.VMEM((N + 1, M, TB), state_dt),
-            pltpu.VMEM((M, TB), state_dt),  # per-node running max
+            pltpu.VMEM((1, TB), state_dt),  # per-node column max
             pltpu.VMEM((N, 1, TB), jnp.int32),  # node max (real lanes)
-            pltpu.VMEM((M, TB), jnp.int32),  # running packed best
+            pltpu.VMEM((1, TB), jnp.int32),  # running packed best
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((1, B), jnp.int32) for _ in range(4)]
@@ -521,12 +541,17 @@ class PairedGraphSW:
 
     COL_BUDGET = 24576
 
-    #: VPU-utilization model for engine_report(): the int32 column loop
-    #: runs ~35 vector ops per DP cell (diagonal shift, profile add/max,
-    #: log-time F prefix scan ≈ log2(M) shift+max pairs, E update, packed
-    #: end tracking); peak taken as 4e12 int32 ops/s/core (8×128 lanes ×
-    #: ~4 ALUs × ~0.94GHz) — override via PARAGRAPH_TPU_VPU_PEAK_OPS.
-    OPS_PER_CELL = 35
+    #: VPU-utilization model for engine_report(), calibrated by the
+    #: round-5 ablation study (docs/ROOFLINE.md): the int32 column loop
+    #: issues ~29 vector-lane ops per DP cell (diagonal roll, profile
+    #: add/max, log2(M)-step F prefix scan, E update, packed end
+    #: tracking + two (1,TB) row reductions), and the v5e VPU issues ONE
+    #: (8,128) vreg op per cycle — peak ≈ 8*128*0.94e9 ≈ 0.96e12
+    #: lane-ops/s/core, NOT the 4e12 the round-4 model assumed (no
+    #: evidence of multi-ALU issue on v5e: measured cycles/column match
+    #: op count × 20 vregs at 1 vreg-op/cycle within 5%). Override via
+    #: PARAGRAPH_TPU_VPU_PEAK_OPS.
+    OPS_PER_CELL = 29
 
     def __init__(self, graphs: Sequence[SequenceGraph],
                  tile_batch: int = DEFAULT_TB, interpret: bool = False,
@@ -673,7 +698,7 @@ class PairedGraphSW:
         wait = self.stats["device_wait_s"]
         cells_per_s = self.stats["cells"] / wait if wait > 0 else 0.0
         peak = float(_os.environ.get(
-            "PARAGRAPH_TPU_VPU_PEAK_OPS", 4e12))
+            "PARAGRAPH_TPU_VPU_PEAK_OPS", 0.96e12))
         return {
             **self.stats,
             "cells_per_wait_s": cells_per_s,
