@@ -131,6 +131,15 @@ def main():
     else:
         events = generate(wl, n_events=args.events, seed=args.seed)
 
+    # stage breakdown ([pipeline] stage seconds + [kernel] lines from
+    # pipeline/parallel_grmpy.py) goes to stderr so every bench run
+    # records where the budget went
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stderr,
+        format="[%(asctime)s] [%(name)s] [%(levelname)s] [%(message)s]")
+
     # one-time tunnel connection + backend init is excluded: it is an
     # artifact of the remote-device tunnel, absent on attached hardware
     import numpy as np

@@ -639,12 +639,18 @@ int gsw_align_at(void* ctx, const char* read, int read_len, int end_node,
 // `read_offs[n+1]`. Outputs: per-read rc (0 ok, -2 = caller must rerun
 // full width), score, position, and the CIGAR written into
 // `cigar_buf + i * cigar_stride` (rc -1 on overflow).
+// ops_buf (optional, int32 stride ops_stride per read) receives the
+// decoded alignment as integers, saving the host a CIGAR re-parse:
+//   [0] n_nodes, [1] position, then per node: node_id, n_ops,
+//   n_ops x (len<<3 | opcode) with M=0 X=1 N=2 S=3 I=4 D=5.
+// n_nodes is 0 whenever rc != 0 or the encoding would overflow.
 int gsw_align_at_batch(void* ctx, const char* reads_concat,
                        const int64_t* read_offs, int n,
                        const int* end_nodes, const int* end_refs,
                        const int* end_reads, const int* expected_scores,
                        int n_threads, int* rcs, int* scores, int* positions,
-                       char* cigar_buf, int cigar_stride) {
+                       char* cigar_buf, int cigar_stride,
+                       int32_t* ops_buf, int ops_stride) {
   GraphCtx* g = (GraphCtx*)ctx;
   if (n <= 0) return 0;
   n_threads = std::max(1, std::min(n_threads, 16));
@@ -696,6 +702,38 @@ int gsw_align_at_batch(void* ctx, const char* reads_concat,
       if ((int)cig.size() + 1 > cigar_stride) { rcs[i] = -1; continue; }
       memcpy(cig_out, cig.c_str(), cig.size() + 1);
       rcs[i] = 0;
+      if (ops_buf != nullptr) {
+        int32_t* o = ops_buf + (size_t)i * ops_stride;
+        o[0] = 0;
+        int w = 2;
+        bool ok = true;
+        for (size_t k = 0; ok && k < gm.node_ids.size(); ++k) {
+          if (w + 2 + (int)gm.cigars[k].size() > ops_stride) {
+            ok = false;
+            break;
+          }
+          o[w++] = gm.node_ids[k];
+          o[w++] = (int32_t)gm.cigars[k].size();
+          for (const CigOp& op : gm.cigars[k]) {
+            int code;
+            switch (op.op) {
+              case 'M': code = 0; break;
+              case 'X': code = 1; break;
+              case 'N': code = 2; break;
+              case 'S': code = 3; break;
+              case 'I': code = 4; break;
+              case 'D': code = 5; break;
+              default: code = -1;
+            }
+            if (code < 0) { ok = false; break; }
+            o[w++] = (op.len << 3) | code;
+          }
+        }
+        if (ok) {
+          o[0] = (int32_t)gm.node_ids.size();
+          o[1] = gm.position;
+        }
+      }
     }
   };
   if (n_threads == 1 || n < 8) {

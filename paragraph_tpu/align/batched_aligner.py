@@ -214,7 +214,7 @@ class BatchedGraphAligner:
         else:
             trace_idx = np.arange(n)
 
-        traces = [(int(chosen_scores[i]), 0, "") for i in range(n)]
+        traces = [(int(chosen_scores[i]), 0, "", None) for i in range(n)]
         if len(trace_idx):
             if self._fwd_native is not None and f_ends is not None:
                 # one native call for the whole batch; the per-read work
@@ -223,24 +223,28 @@ class BatchedGraphAligner:
                 er = np.asarray(f_ends[1])[chosen_idx[trace_idx]]
                 erd = np.asarray(f_ends[2])[chosen_idx[trace_idx]]
                 es = chosen_scores[trace_idx]
-                sc, pos, cig = self._fwd_native.align_at_batch(
+                sc, pos, cig, dec = self._fwd_native.align_at_batch(
                     [chosen_list[k] for k in trace_idx], en, er, erd, es,
                     n_threads=min(resolve_threads(self.threads), 16))
                 for j, k in enumerate(trace_idx):
-                    traces[k] = (sc[j], pos[j], cig[j])
+                    traces[k] = (sc[j], pos[j], cig[j], dec[j])
             else:
                 for k in trace_idx:
                     if self._fwd_native is not None:
                         score, pos, _multi, cigar = self._fwd_native.align(
                             chosen_list[k])
-                        traces[k] = (score, pos, cigar)
+                        traces[k] = (score, pos, cigar, None)
                     else:
-                        traces[k] = self._trace(chosen_list[k])
+                        traces[k] = self._trace(chosen_list[k]) + (None,)
 
         for i, read in enumerate(reads):
-            score, pos, cigar = traces[i]
+            score, pos, cigar, decoded = traces[i]
             read.graph_pos = pos
             read.graph_alignment_score = score
             read.is_graph_alignment_unique = bool(unique_arr[i])
             read.graph_mapq = 60 if unique_arr[i] else 0
             read.graph_cigar = cigar
+            if decoded is not None:
+                # seed the decode memo so filters/disambiguation/counting
+                # never re-parse the CIGAR text (align/alignment.py:127)
+                read._decoded_alignment = (pos, cigar, decoded)

@@ -69,7 +69,8 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-                ctypes.c_char_p, ctypes.c_int]
+                ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
             lib.bam_scan.restype = ctypes.c_int
             lib.bam_scan.argtypes = [
                 ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
@@ -156,17 +157,20 @@ class NativeGraphSW:
 
     def align_at_batch(self, reads, end_nodes, end_refs, end_reads,
                        expected_scores, n_threads: int = 1,
-                       cigar_stride: int = 2048):
+                       cigar_stride: int = 2048, ops_stride: int = 128):
         """Banded fill + traceback for a whole read batch in ONE native
         call (per-read work fans out over n_threads inside the library,
-        GIL released). Returns (scores, positions, cigars) lists; any
-        read the band missed (score mismatch / stuck walk) transparently
-        falls back to the exact full-width align()."""
+        GIL released). Returns (scores, positions, cigars, decoded)
+        lists; `decoded` carries a pre-built GraphAlignment per read
+        (None where unavailable) so downstream analysis never re-parses
+        the CIGAR text. Any read the band missed (score mismatch /
+        stuck walk) transparently falls back to the exact full-width
+        align()."""
         import numpy as np
 
         n = len(reads)
         if n == 0:
-            return [], [], []
+            return [], [], [], []
         concat = "".join(reads).encode()
         lens = np.fromiter((len(r) for r in reads), np.int64, count=n)
         offs = np.zeros(n + 1, np.int64)
@@ -178,6 +182,7 @@ class NativeGraphSW:
         rcs = np.zeros(n, np.int32)
         scores = np.zeros(n, np.int32)
         positions = np.zeros(n, np.int32)
+        ops = np.zeros((n, ops_stride), np.int32)
         buf = ctypes.create_string_buffer(n * cigar_stride)
         ip = ctypes.POINTER(ctypes.c_int)
         self._lib.gsw_align_at_batch(
@@ -187,19 +192,22 @@ class NativeGraphSW:
             erd.ctypes.data_as(ip), es.ctypes.data_as(ip),
             int(n_threads), rcs.ctypes.data_as(ip),
             scores.ctypes.data_as(ip), positions.ctypes.data_as(ip),
-            buf, cigar_stride)
+            buf, cigar_stride,
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ops_stride)
         out_scores = scores.tolist()
         out_pos = positions.tolist()
         cigars = [""] * n
+        decoded = [None] * n
         raw = buf.raw
         for i in range(n):
             if rcs[i] == 0:
                 s = i * cigar_stride
                 cigars[i] = raw[s:raw.index(b"\0", s)].decode()
+                decoded[i] = _decode_ops_row(ops[i])
             else:
                 sc, p, _multi, cig = self.align(reads[i])
                 out_scores[i], out_pos[i], cigars[i] = sc, p, cig
-        return out_scores, out_pos, cigars
+        return out_scores, out_pos, cigars, decoded
 
     def align_at(self, read: str, end_node: int, end_ref: int,
                  end_read: int, expected_score: int):
@@ -218,3 +226,34 @@ class NativeGraphSW:
             s, p, _multi, cig = self.align(read)
             return s, p, cig
         return score.value, position.value, self._buf.value.decode()
+
+
+_OP_CHARS = "MXNSID"
+
+
+def _decode_ops_row(row) -> "object":
+    """Build a GraphAlignment from one integer ops row emitted by
+    gsw_align_at_batch (layout documented at the C entry point). Returns
+    None when the row is empty (overflow sentinel)."""
+    n_nodes = int(row[0])
+    if n_nodes <= 0:
+        return None
+    from .alignment import GraphAlignment, NodeAlignment
+
+    position = int(row[1])
+    node_ids = []
+    alignments = []
+    w = 2
+    for k in range(n_nodes):
+        node_ids.append(int(row[w]))
+        n_ops = int(row[w + 1])
+        w += 2
+        ops = []
+        for _ in range(n_ops):
+            v = int(row[w])
+            w += 1
+            ops.append((v >> 3, _OP_CHARS[v & 7]))
+        alignments.append(NodeAlignment(position if k == 0 else 0, ops))
+    last = alignments[-1]
+    path_end = last.reference_start + last.reference_length - 1
+    return GraphAlignment(node_ids, alignments, position, path_end)

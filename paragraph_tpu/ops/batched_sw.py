@@ -164,6 +164,36 @@ def encode_reads(reads: List[str], pad_to: int = 0
     return codes, lens, vlens.astype(np.int32)
 
 
+def encode_blob(blob: bytes, lens: np.ndarray, pad_to: int = 0
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """encode_reads for pre-concatenated UPPER-CASE read bases.
+
+    The pipelined orchestrator's extraction workers ship each sample's
+    reads as one bytes blob + length vector (see
+    pipeline/parallel_grmpy.py::_extract_event); encoding straight from
+    that form skips the decode → per-read str slice → re-join round
+    trip that used to dominate dispatch host time. Same output contract
+    as encode_reads (codes matrix with pad class 5, real lens, striped
+    vlens)."""
+    lens = np.asarray(lens, np.int32)
+    n = len(lens)
+    max_len = int(lens.max()) if n else 1
+    m = max(pad_to, ((max_len + 15) // 16) * 16)
+    codes = np.full((n, m), 5, dtype=np.int32)
+    if n:
+        data = np.frombuffer(blob, np.uint8)
+        if (lens == lens[0]).all():
+            codes[:, :lens[0]] = _NT[data].reshape(n, lens[0])
+        else:
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            starts = np.concatenate(
+                ([0], np.cumsum(lens[:-1], dtype=np.int64)))
+            offs = np.arange(len(data), dtype=np.int64) - starts[rows]
+            codes[rows, offs] = _NT[data]
+    vlens = ((lens + 15) // 16) * 16
+    return codes, lens, vlens.astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("num_nodes", "gap_open", "gap_extend",
                                    "match", "mismatch"))
 def _batched_fill(ref_codes, col_node, col_in_node, is_start, is_last,

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..graph.model import SequenceGraph
-from .batched_sw import GraphArrays, encode_reads
+from .batched_sw import GraphArrays, encode_blob, encode_reads
 from .pallas_sw import _shift_down, pack_bits
 
 _BIG = np.int32(2 ** 30)
@@ -404,6 +404,31 @@ def pair_tiles(n: int, tb: int) -> int:
     return 2 * (_bucket(2 * n, tb) // tb) if n else 0
 
 
+def pair_norm(reads) -> Tuple[bytes, np.ndarray]:
+    """Normalize one pair's read set to (blob, lens) encoded form.
+
+    Accepts either a list of (mixed-case) read strings or a pre-built
+    (upper-case bytes blob, int32 lengths) tuple — the form the
+    pipelined orchestrator's extraction workers ship so the parent never
+    materialises per-read Python strings on the dispatch critical path."""
+    if isinstance(reads, tuple):
+        blob, lens = reads
+        return blob, np.asarray(lens, np.int32)
+    lens = np.fromiter((len(r) for r in reads), np.int32, count=len(reads))
+    return "".join(reads).upper().encode(), lens
+
+
+def pair_count(reads) -> int:
+    return len(reads[1]) if isinstance(reads, tuple) else len(reads)
+
+
+def pair_max_len(reads) -> int:
+    if isinstance(reads, tuple):
+        lens = reads[1]
+        return int(np.max(lens)) if len(lens) else 0
+    return max((len(r) for r in reads), default=0)
+
+
 def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
                       pad_to: int = 0, tiles_to: int = 0, bases_to: int = 0,
                       l_ev_floor: int = 0):
@@ -424,7 +449,9 @@ def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
     clen=0 so their column loop never executes — tile padding costs only
     the per-tile scratch init, not a graph re-scan.
     """
-    base_reads: List[str] = []
+    base_blobs: List[bytes] = []
+    base_lens: List[np.ndarray] = []
+    n_bases = 0
     col_chunks: List[np.ndarray] = []
     flip_chunks: List[np.ndarray] = []
     comp_chunks: List[np.ndarray] = []
@@ -435,13 +462,16 @@ def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
     lane_count = 0
     max_len = 1
     for j, reads in enumerate(reads_per_pair):
-        n = len(reads)
+        n = pair_count(reads)
         if n == 0:
             layout.append(([0, 0, 0, 0], 0))
             continue
-        base_off = len(base_reads)
-        base_reads.extend(reads)
-        max_len = max(max_len, max(len(r) for r in reads))
+        base_off = n_bases
+        blob, lens_j = pair_norm(reads)
+        base_blobs.append(blob)
+        base_lens.append(lens_j)
+        n_bases += n
+        max_len = max(max_len, int(lens_j.max()))
         lanes = _bucket(2 * n, tb)
         idx = np.arange(base_off, base_off + n, dtype=np.int32)
         lane_cols = np.concatenate(
@@ -480,14 +510,20 @@ def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
         col_chunks.append(np.zeros(pad_tiles * tb, np.int32))
         flip_chunks.append(np.zeros(pad_tiles * tb, np.int8))
         comp_chunks.append(np.zeros(pad_tiles * tb, np.int8))
-    if not base_reads:
-        base_reads.append("A")
+    if not n_bases:
+        base_blobs.append(b"A")
+        base_lens.append(np.ones(1, np.int32))
+        n_bases = 1
     if bases_to:
-        assert bases_to >= len(base_reads)
-        base_reads.extend(["A"] * (bases_to - len(base_reads)))
+        assert bases_to >= n_bases
+        pad_n = bases_to - n_bases
+        if pad_n:
+            base_blobs.append(b"A" * pad_n)
+            base_lens.append(np.ones(pad_n, np.int32))
 
     pad_to = max(pad_to, _bucket(max_len, 32))
-    codes, lens, vlens = encode_reads(base_reads, pad_to)
+    codes, lens, vlens = encode_blob(
+        b"".join(base_blobs), np.concatenate(base_lens), pad_to)
     l_ev = max(_bucket(max(a.col_len), 256), l_ev_floor)
     assert pack_bits(l_ev, codes.shape[1], 1) is not None
     return {
@@ -627,10 +663,18 @@ class PairedGraphSW:
         # tile/base budgets: fixed floor, pow2 growth for oversize read
         # sets — at most a handful of distinct compiled shapes ever.
         # Interpret mode has no compile cost, so no floor there.
-        tiles_raw = sum(pair_tiles(len(r), tb) for r in reads_per_pair)
+        tiles_raw = sum(pair_tiles(pair_count(r), tb)
+                        for r in reads_per_pair)
         t_floor = 1 if self.interpret else TILE_BUDGET
         tiles_to = _pow2_at_least(tiles_raw, t_floor)
-        bases_to = tiles_to * tb // 4
+        # the base-codes matrix is the bulk of the per-dispatch transfer
+        # ([M, B_b] int8); bucket its row count to the real read total,
+        # not to the (much larger) padded lane budget — pad tiles gather
+        # base column 0, so any B_b >= n_reads is valid
+        n_reads_real = sum(pair_count(r) for r in reads_per_pair)
+        b_floor = 1 if self.interpret else 1024
+        bases_to = min(_pow2_at_least(n_reads_real, b_floor),
+                       tiles_to * tb // 4)
         t = build_pair_tables(a, reads_per_pair, tb, pad_to,
                               tiles_to=tiles_to, bases_to=bases_to,
                               l_ev_floor=self.l_ev)
@@ -655,7 +699,7 @@ class PairedGraphSW:
                            pad_to: int = 0):
         """Dispatch all chunks without fetching; callers can keep several
         batches in flight and finalize_pairs() them later."""
-        max_len = max((len(r) for reads in reads_per_pair for r in reads),
+        max_len = max((pair_max_len(r) for r in reads_per_pair),
                       default=1)
         m_floor = 32 if self.interpret else M_FLOOR
         pad_to = max(pad_to, m_floor, _bucket(max_len, 32))

@@ -33,7 +33,8 @@ from ..ops.batched_sw import GraphArrays
 from ..ops.multi_sw import (DEFAULT_TB, L_EV_FLOOR, M_FLOOR, PAIR_BUDGET,
                             TILE_BUDGET, MultiGraphArrays, PairedGraphSW,
                             _auto_interpret, _bucket, _pow2_at_least,
-                            build_pair_tables, pair_tiles,
+                            build_pair_tables, pair_count,
+                            pair_max_len, pair_tiles,
                             paired_pallas_fill, slice_pair_outputs)
 
 
@@ -196,7 +197,7 @@ class ShardedPairedSW:
         S = self.n_shards
         tb = self.tile_batch
         sharding = NamedSharding(self.mesh, P(self.axis))
-        max_len = max((len(r) for reads in reads_per_pair for r in reads),
+        max_len = max((pair_max_len(r) for r in reads_per_pair),
                       default=1)
         m_floor = 32 if self.interpret else M_FLOOR
         pad_to = max(pad_to, m_floor, _bucket(max_len, 32))
@@ -213,11 +214,16 @@ class ShardedPairedSW:
             # pad tiles carry clen=0, so every shard — filler shards
             # included — pads to one shape at negligible cost
             tiles_raw = max(
-                (sum(pair_tiles(len(r), tb) for r in slot_reads(k, s))
+                (sum(pair_tiles(pair_count(r), tb) for r in slot_reads(k, s))
                  for k, s in enumerate(slot_ids)), default=0)
             t_floor = 1 if self.interpret else TILE_BUDGET
             tiles_to = _pow2_at_least(tiles_raw, t_floor)
-            bases_to = tiles_to * tb // 4
+            reads_max = max(
+                (sum(pair_count(r) for r in slot_reads(k, s))
+                 for k, s in enumerate(slot_ids)), default=0)
+            b_floor = 1 if self.interpret else 1024
+            bases_to = min(_pow2_at_least(reads_max, b_floor),
+                           tiles_to * tb // 4)
 
             tables = [build_pair_tables(
                 self.slot_arrays[s], slot_reads(k, s), tb,

@@ -324,14 +324,11 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
 
             # one scoring batch per (event × sample), in the same pair
             # order build_sw laid the graphs out
-            batches = []
-            for gi in rounds[r]:
-                for s in needs_align:
-                    blob, lens = blobs_by_event[gi][s.sample_name]
-                    text = blob.decode()
-                    ends = lens.cumsum()
-                    batches.append([text[e - l:e]
-                                    for l, e in zip(lens, ends)])
+            # (blob, lens) tuples go straight to the scorer — encoding
+            # happens once per dispatch from the concatenated bytes
+            # (ops/batched_sw.py::encode_blob), with no per-read strings
+            batches = [blobs_by_event[gi][s.sample_name]
+                       for gi in rounds[r] for s in needs_align]
 
             handle = None
             if sw is not None:

@@ -182,3 +182,37 @@ def test_pinned_multi_traceback_ordering_and_distinctness():
         assert o.node_cigars[-1][-1][1] in "MX"
     best = sw.align_pinned(read, 1)
     assert outs[0].score == best.score
+
+
+def test_align_at_batch_decoded_matches_cigar_parse():
+    """The integer ops rows from the native batch traceback must decode
+    to exactly what re-parsing the CIGAR text produces."""
+    import numpy as np
+
+    from paragraph_tpu.align.alignment import decode_graph_alignment
+    from paragraph_tpu.ops.batched_sw import BatchedGraphSW
+
+    rng = random.Random(77)
+    seqs, edges = _random_graph(rng, max_nodes=5, max_len=16)
+    g = _make_graph(seqs, edges)
+    sw = NativeGraphSW(g)
+    reads = []
+    for _ in range(12):
+        r = _read_from_graph(rng, seqs, edges, read_len=rng.randint(8, 24))
+        if r:
+            reads.append(r)
+    bs = BatchedGraphSW(g)
+    score, en, er, erd, multi = bs.score(reads)
+    sc, pos, cig, dec = sw.align_at_batch(
+        reads, np.asarray(en), np.asarray(er), np.asarray(erd),
+        np.asarray(score))
+    for i, r in enumerate(reads):
+        if dec[i] is None:
+            continue
+        want = decode_graph_alignment(pos[i], cig[i])
+        got = dec[i]
+        assert got.node_ids == want.node_ids
+        assert got.path_start == want.path_start
+        assert got.path_end == want.path_end
+        for a, b in zip(got.alignments, want.alignments):
+            assert a == b

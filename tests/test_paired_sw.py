@@ -78,3 +78,37 @@ def test_paired_chunking_keeps_pairs_together():
         for side in range(2):
             for a, b in zip(got[k][side], want[k][side]):
                 assert (a == b).all()
+
+
+def test_blob_form_matches_string_form():
+    """(blob, lens) pair inputs (the pipelined orchestrator's wire form)
+    must score identically to list-of-strings inputs."""
+    import numpy as np
+
+    rng = random.Random(4242)
+    graphs = []
+    reads_per_pair = []
+    for _ in range(3):
+        seqs, edges = _random_graph(rng, max_nodes=4, max_len=18)
+        graphs.append(_make_graph(seqs, edges))
+        reads = []
+        for _ in range(rng.randint(0, 5)):
+            r = _read_from_graph(rng, seqs, edges,
+                                 read_len=rng.randint(6, 20))
+            if r:
+                reads.append(r)
+        reads_per_pair.append(reads)
+
+    sw = PairedGraphSW(graphs, interpret=True)
+    want = sw.score_pairs(reads_per_pair)
+
+    blobs = []
+    for reads in reads_per_pair:
+        up = [r.upper() for r in reads]
+        lens = np.fromiter((len(r) for r in up), np.int32, count=len(up))
+        blobs.append(("".join(up).encode(), lens))
+    got = PairedGraphSW(graphs, interpret=True).score_pairs(blobs)
+
+    for (gf, gr), (wf, wr) in zip(got, want):
+        for a, b in zip(gf + gr, wf + wr):
+            assert np.array_equal(a, b)
