@@ -515,6 +515,42 @@ void compute_window(const GraphCtx& g, int end_node, int end_ref,
   }
 }
 
+// Pure-diagonal traceback for perfect-score reads (score ==
+// read_len * kMatch): such an alignment contains only matches, so the
+// in-node walk is a forced diagonal and node boundaries are crossed to
+// the first predecessor (in the same preds order trace_back uses) whose
+// remaining read prefix also aligns perfectly -- exactly the
+// H(pred,last,k-1) == k relation trace_back tests, without any fill.
+// Returns false on any inconsistency (caller falls back to the banded
+// fill+trace).
+bool exact_trace(const GraphCtx& g, int node, int ref_pos, int k,
+                 const char* read, std::vector<int>* nodes,
+                 std::vector<int>* runs) {
+  int run = 0;
+  const std::string& seq = g.nodes[(size_t)node].seq;
+  while (k >= 0 && ref_pos >= 0) {
+    const char rc = seq[(size_t)ref_pos];
+    if (rc != read[k] || nt_class(rc) >= 4) return false;
+    --ref_pos;
+    --k;
+    ++run;
+  }
+  if (k < 0) {
+    nodes->push_back(node);
+    runs->push_back(run);
+    return true;
+  }
+  for (int p : g.nodes[(size_t)node].preds) {
+    const int last = (int)g.nodes[(size_t)p].seq.size() - 1;
+    if (exact_trace(g, p, last, k, read, nodes, runs)) {
+      nodes->push_back(node);
+      runs->push_back(run);
+      return true;
+    }
+  }
+  return false;
+}
+
 std::string cigar_string(const Mapping& gm) {
   std::string out;
   char buf[32];
@@ -679,6 +715,43 @@ int gsw_align_at_batch(void* ctx, const char* reads_concat,
       }
       upper.assign(read, (size_t)read_len);
       for (char& c : upper) c = (char)toupper((unsigned char)c);
+      if (exp_score == read_len * kMatch && end_read == read_len - 1) {
+        std::vector<int> nodes, runs;
+        if (exact_trace(*g, end_node, end_ref, read_len - 1,
+                        upper.c_str(), &nodes, &runs)) {
+          gm.node_ids = nodes;
+          gm.cigars.clear();
+          for (int r : runs) gm.cigars.push_back({{r, 'M'}});
+          gm.score = exp_score;
+          gm.position =
+              nodes.size() == 1
+                  ? end_ref - runs[0] + 1
+                  : (int)g->nodes[(size_t)nodes[0]].seq.size() - runs[0];
+          scores[i] = gm.score;
+          positions[i] = gm.position;
+          const std::string cig = cigar_string(gm);
+          if ((int)cig.size() + 1 > cigar_stride) { rcs[i] = -1; continue; }
+          memcpy(cig_out, cig.c_str(), cig.size() + 1);
+          rcs[i] = 0;
+          if (ops_buf != nullptr) {
+            int32_t* o = ops_buf + (size_t)i * ops_stride;
+            o[0] = 0;
+            int w = 2;
+            bool ok = true;
+            for (size_t k = 0; k < nodes.size(); ++k) {
+              if (w + 3 > ops_stride) { ok = false; break; }
+              o[w++] = nodes[k];
+              o[w++] = 1;
+              o[w++] = (runs[k] << 3) | 0;  // 'M' opcode
+            }
+            if (ok) {
+              o[0] = (int32_t)nodes.size();
+              o[1] = gm.position;
+            }
+          }
+          continue;
+        }
+      }
       const int budget = std::max(
           1, std::min(2 * read_len + 64, 2 * read_len - exp_score + 8));
       compute_window(*g, end_node, end_ref, budget, &window);

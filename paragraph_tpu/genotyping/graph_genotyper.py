@@ -274,6 +274,17 @@ class GraphBreakpointGenotyper:
 
 
 def _deep_copy(obj):
+    """Deep copy for JSON-typed data (basic_info is parsed graph JSON).
+    Hand-rolled because copy.deepcopy's generic machinery was a visible
+    slice of per-event genotyping time; non-JSON leaves fall back to
+    copy.deepcopy."""
+    t = type(obj)
+    if t is dict:
+        return {k: _deep_copy(v) for k, v in obj.items()}
+    if t is list:
+        return [_deep_copy(v) for v in obj]
+    if t in (str, int, float, bool, type(None)):
+        return obj
     import copy
 
     return copy.deepcopy(obj)

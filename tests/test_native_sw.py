@@ -216,3 +216,39 @@ def test_align_at_batch_decoded_matches_cigar_parse():
         assert got.path_end == want.path_end
         for a, b in zip(got.alignments, want.alignments):
             assert a == b
+
+
+def test_exact_trace_matches_full_traceback():
+    """Perfect-score reads take the fill-free pure-diagonal traceback in
+    gsw_align_at_batch; its CIGAR/position must equal the full
+    fill+trace_back output (including predecessor tie-breaks)."""
+    import numpy as np
+
+    from paragraph_tpu.ops.batched_sw import BatchedGraphSW
+
+    rng = random.Random(2025)
+    for trial in range(20):
+        seqs, edges = _random_graph(rng, max_nodes=6, max_len=14)
+        g = _make_graph(seqs, edges)
+        nat = NativeGraphSW(g)
+        reads = []
+        for _ in range(6):
+            # mutate=0 keeps reads perfect so the exact-trace fast
+            # path is actually exercised
+            r = _read_from_graph(rng, seqs, edges,
+                                 read_len=rng.randint(6, 30),
+                                 mutate=0, indel=0)
+            if r:
+                reads.append(r.upper())
+        if not reads:
+            continue
+        bs = BatchedGraphSW(g)
+        score, en, er, erd, multi = bs.score(reads)
+        sc, pos, cig, dec = nat.align_at_batch(
+            reads, np.asarray(en), np.asarray(er), np.asarray(erd),
+            np.asarray(score))
+        for i, r in enumerate(reads):
+            w_sc, w_pos, _m, w_cig = nat.align(r)
+            assert sc[i] == w_sc, (trial, r)
+            assert pos[i] == w_pos, (trial, r, cig[i], w_cig)
+            assert cig[i] == w_cig, (trial, r, cig[i], w_cig)
