@@ -216,6 +216,30 @@ def main():
         "dispatches": result["dispatches"] if result else 0,
         "baseline_cells_per_s": round(baseline or 0.0, 1),
     }
+    # north-star system metric (BASELINE.md "SVs genotyped/sec at 30x"):
+    # a 300-event end-to-end run in a watchdogged subprocess, recorded
+    # alongside the kernel microbenchmark so every round's BENCH_r*.json
+    # carries both. A hung/failed e2e marks the keys, never the bench.
+    if tpu_ok:
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_e2e.py"), "--events", "1000"],
+                capture_output=True, text=True, timeout=600)
+            line = proc.stdout.strip().splitlines()[-1]
+            e2e = json.loads(line)
+            out["sv_genotyping_throughput_30x"] = e2e["value"]
+            out["e2e_vs_baseline"] = e2e["vs_baseline"]
+            for dline in proc.stderr.splitlines():
+                if '"genotype_accuracy"' in dline:
+                    out["e2e_detail"] = json.loads(dline)
+                    break
+        except (subprocess.TimeoutExpired, OSError, ValueError,
+                IndexError, KeyError) as exc:
+            out["sv_genotyping_throughput_30x"] = None
+            out["e2e_error"] = f"{type(exc).__name__}: {exc}"
+
     if not tpu_ok:
         out["failed"] = True
         out["failure"] = ("TPU unavailable or watchdog timeout; value is "
