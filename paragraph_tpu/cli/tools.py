@@ -25,74 +25,83 @@ def _load_json(path):
 # ---------------------------------------------------------------------------
 
 def split_node(graph, node, breakpoints):
-    """variants.py:48-89 — split a node at breakpoints, relink edges."""
-    if not breakpoints:
+    """Split `node` at the given in-node offsets and relink its edges.
+
+    Behavioural equivalent of the reference's splitNode
+    (src/python/lib/grm/vcfgraph/variants.py:48-89), built around an
+    explicit segment plan instead of a running split loop: the cut
+    offsets (with 0 and node length as sentinels) define half-open
+    [lo, hi) segments, each materialised as a ref/alt piece in one pass;
+    a cut at 0 or at the node length yields an empty piece, exactly as
+    the reference produces (remove_empty_nodes cleans those up later).
+    Incoming edges transfer to the first piece, outgoing to the last,
+    interior pieces chain, and the original node is dropped unless a
+    piece reused its name."""
+    cuts = sorted(set(breakpoints))
+    if not cuts:
         return [node]
-    breakpoints = sorted(set(breakpoints))
-    nodes = []
-    l_end = 0
-    for p in breakpoints:
-        assert 0 <= p <= node["end"] - node["start"] + 1
-        n_start = node["start"] + l_end
-        n_end = node["start"] + p - 1
-        if "reference" in node:
-            nodes.append(graph.add_ref_node(
-                node["chrom"], n_start, n_end, node["sequences"]))
-        else:
-            seq = node["sequence"][l_end:p]
-            nodes.append(graph.add_alt_node(
-                node["chrom"], n_start, n_end, seq, node["sequences"]))
-        l_end = p
-    l_start = node["start"] + breakpoints[-1]
-    if "reference" in node:
-        nodes.append(graph.add_ref_node(
-            node["chrom"], l_start, node["end"], node["sequences"]))
-    else:
-        seq = node["sequence"][breakpoints[-1]:]
-        nodes.append(graph.add_alt_node(
-            node["chrom"], l_start, node["end"], seq, node["sequences"]))
+    length = node["end"] - node["start"] + 1
+    assert all(0 <= c <= length for c in cuts)
+    bounds = [0] + cuts + [length]
+    is_ref = "reference" in node
+
+    def piece(lo, hi):
+        a = node["start"] + lo
+        b = node["start"] + hi - 1
+        if is_ref:
+            return graph.add_ref_node(node["chrom"], a, b,
+                                      node["sequences"])
+        return graph.add_alt_node(node["chrom"], a, b,
+                                  node["sequence"][lo:hi],
+                                  node["sequences"])
+
+    pieces = [piece(lo, hi) for lo, hi in zip(bounds, bounds[1:])]
     for e in list(graph.in_edges(node)):
-        graph.add_edge(graph.nodes[e["from"]], nodes[0], e["sequences"])
+        graph.add_edge(graph.nodes[e["from"]], pieces[0], e["sequences"])
     for e in list(graph.out_edges(node)):
-        graph.add_edge(nodes[-1], graph.nodes[e["to"]], e["sequences"])
-    for n1, n2 in zip(nodes[:-1], nodes[1:]):
-        graph.add_edge(n1, n2)
-    if node["name"] not in [n["name"] for n in nodes]:
+        graph.add_edge(pieces[-1], graph.nodes[e["to"]], e["sequences"])
+    for left, right in zip(pieces, pieces[1:]):
+        graph.add_edge(left, right)
+    if all(p["name"] != node["name"] for p in pieces):
         graph.del_node(node)
-    return nodes
+    return pieces
 
 
 def add_variants_node(graph, node, variants):
-    """variants.py:92-108."""
-    bps = []
-    for start, end, alt in variants:
+    """Insert alt branches for in-node variants (variants.py:92-108
+    equivalent): validate every record up front, derive the cut set from
+    the union of variant boundaries, split once, then wire one alt node
+    per variant between the pieces flanking it (located through
+    start/end-coordinate indexes over the pieces)."""
+    for start, end, _alt in variants:
         if start > end + 1:
             raise ValueError("Variant start > end")
+    for start, end, alt in variants:
         if start == end + 1 and not alt:
             raise ValueError("Insertion without sequence")
-        bps.extend((start, end + 1))
-    nodes = split_node(graph, node, bps)
-    nodes_ending = {n["end"]: n for n in nodes[:-1]}
-    nodes_starting = {n["start"]: n for n in nodes}
+    cut_set = {c for s, e, _ in variants for c in (s, e + 1)}
+    pieces = split_node(graph, node, sorted(cut_set))
+    by_end = {p["end"]: p for p in pieces[:-1]}
+    by_start = {p["start"]: p for p in pieces}
     for start, end, alt in variants:
-        v_start = node["start"] + start
-        v_end = node["start"] + end
-        alt_node = graph.add_alt_node(node["chrom"], v_start, v_end, alt)
-        graph.add_edge(nodes_ending[v_start - 1], alt_node)
-        graph.add_edge(alt_node, nodes_starting[v_end + 1])
+        lo = node["start"] + start
+        hi = node["start"] + end
+        branch = graph.add_alt_node(node["chrom"], lo, hi, alt)
+        graph.add_edge(by_end[lo - 1], branch)
+        graph.add_edge(branch, by_start[hi + 1])
 
 
 def add_variants(graph, var_dict):
-    """variants.py:27-45."""
-    for node_name, node_var_dicts in var_dict.items():
-        node_vars = []
-        for vd in node_var_dicts:
-            node_vars.append((vd.get("start", 0), vd.get("end", 0),
-                              vd.get("alt", "")))
+    """Per-node driver for addVariants (variants.py:27-45 equivalent):
+    malformed records skip their node with a stderr note — the
+    reference is deliberately forgiving here."""
+    for node_name, recs in var_dict.items():
+        triples = [(r.get("start", 0), r.get("end", 0), r.get("alt", ""))
+                   for r in recs]
         try:
-            add_variants_node(graph, graph.nodes[node_name], node_vars)
-        except Exception as e:  # noqa: BLE001 — mirror reference behaviour
-            print(f"Skipping variant records on node {node_name}: {e}",
+            add_variants_node(graph, graph.nodes[node_name], triples)
+        except Exception as exc:  # noqa: BLE001 — reference behaviour
+            print(f"Skipping variant records on node {node_name}: {exc}",
                   file=sys.stderr)
 
 
@@ -251,78 +260,83 @@ def cmd_grmpy_vcf_merge(argv):
 # msa2vcf (bin/msa2vcf.py + lib msa.py): multiple alignment → VCF records
 # ---------------------------------------------------------------------------
 
+def _vcf_anchor_pad(v, ref, offset, last_end):
+    """Prepend the VCF anchor base to a pure insertion/deletion record
+    (start moves one reference base left) when that base is free, i.e.
+    not already claimed by the previous variant."""
+    if v["start"] < last_end:
+        return
+    if not v["alt"]:
+        v["start"] -= 1
+        v["ref"] = ref[v["start"] - offset] + v["ref"]
+        v["alt"] = v["ref"][0] + v["alt"]
+    elif not v["ref"]:
+        v["start"] -= 1
+        v["ref"] = ref[v["start"] - offset]
+        v["alt"] = v["ref"] + v["alt"]
+
+
 def pairwise_msa_variants(ref_aln, alt_aln, offset=0):
     """Variant calls between two rows of an MSA.
 
     Same contract as the reference's grm.msa.pairwise_variants
-    (src/python/lib/grm/msa.py:60-129): adjacent mismatch/gap columns
-    merge into one record; pure insertions/deletions get a VCF anchor
-    base prepended (start shifts left by one); shared trailing bases are
-    right-trimmed when that does not collide with the previous variant.
-    `start`/`end` are 0-based reference coordinates (+offset).
-    """
+    (src/python/lib/grm/msa.py:60-129), structured as a column
+    state machine: each alignment column is classified (match /
+    double-gap / substitution / insertion / deletion) and folded into
+    an open difference run. A column with bases in both rows closes the
+    open run; double-gap columns keep it open; the run's anchor pins to
+    the reference base before its first consumed ref character, and
+    advances past each emitted record — a leading unanchored insertion
+    is dropped, as in the reference. A second phase sorts the records,
+    VCF-pads pure indels, and right-trims shared trailing bases where
+    the previous record has not claimed the position.
+    `start`/`end` are 0-based reference coordinates (+offset)."""
     assert len(ref_aln) == len(alt_aln)
     variants = []
-    run_start = -1          # 0-based ref position where the open run began
-    ref_pos = 0             # ref bases consumed so far
-    run_ref = ""            # deleted / substituted ref bases in the run
-    run_alt = ""            # inserted / substituted alt bases in the run
+    refs = []               # ref characters of the open run
+    alts = []               # alt characters of the open run
+    anchor = -1             # ref coordinate anchoring the open run
+    ref_pos = 0             # reference bases consumed so far
+
+    def emit(end):
+        variants.append({"start": anchor + offset, "end": end,
+                         "ref": "".join(refs), "alt": "".join(alts)})
+        refs.clear()
+        alts.clear()
+
     for r, a in zip(ref_aln, alt_aln):
-        # a fully-aligned column closes any open run
-        if r != "-" and a != "-" and run_start >= 0 and (run_ref
-                                                         or run_alt):
-            variants.append({
-                "start": run_start + offset,
-                "end": run_start + offset + len(run_ref) - 1,
-                "ref": run_ref, "alt": run_alt})
-            run_ref = run_alt = ""
-            run_start = ref_pos
-        if r == a:
-            if r != "-":
-                ref_pos += 1
+        if r != "-" and a != "-" and anchor >= 0 and (refs or alts):
+            emit(anchor + offset + len(refs) - 1)
+            anchor = ref_pos
+        if r == a:                      # match or double-gap column
+            ref_pos += r != "-"
             continue
-        if r == "-":
-            run_alt += a
-        elif a == "-":
-            run_ref += r
+        if a == "-":                    # deletion column
+            refs.append(r)
             ref_pos += 1
-        else:
-            run_ref += r
-            run_alt += a
+        elif r == "-":                  # insertion column
+            alts.append(a)
+        else:                           # substitution column
+            refs.append(r)
+            alts.append(a)
             ref_pos += 1
-        if len(run_ref) == 1:
-            run_start = ref_pos - 1
-    if run_start >= 0 and (run_ref or run_alt):
-        variants.append({
-            "start": run_start + offset,
-            "end": run_start + len(ref_aln) - 1 + offset,
-            "ref": run_ref, "alt": run_alt})
+        if len(refs) == 1:
+            anchor = ref_pos - 1
+    if anchor >= 0 and (refs or alts):
+        emit(anchor + len(ref_aln) - 1 + offset)
 
     variants.sort(key=lambda v: v["start"])
     ref = ref_aln.replace("-", "")
     last_end = offset
-
     for v in variants:
-
-        def pad(v):
-            # prepend the VCF anchor base for pure indels
-            if v["start"] >= last_end and not v["alt"]:
-                v["start"] -= 1
-                v["ref"] = ref[v["start"] - offset] + v["ref"]
-                v["alt"] = v["ref"][0] + v["alt"]
-            elif v["start"] >= last_end and not v["ref"]:
-                v["start"] -= 1
-                v["ref"] = ref[v["start"] - offset]
-                v["alt"] = v["ref"] + v["alt"]
-
-        pad(v)
+        _vcf_anchor_pad(v, ref, offset, last_end)
         while (v["start"] > last_end and v["ref"] and v["alt"]
                and v["ref"][-1] == v["alt"][-1]):
             v["end"] -= 1
             v["ref"] = v["ref"][:-1]
             v["alt"] = v["alt"][:-1]
-            pad(v)
-        pad(v)
+            _vcf_anchor_pad(v, ref, offset, last_end)
+        _vcf_anchor_pad(v, ref, offset, last_end)
         last_end = v["end"]
     return variants
 
