@@ -4,7 +4,7 @@
 
 PY ?= python
 
-.PHONY: check smoke test dryrun native hooks
+.PHONY: check smoke test test-all dryrun native hooks
 
 native:
 	$(MAKE) -C native libparagraph_sw.so
@@ -18,8 +18,14 @@ smoke: native
 	    paragraph_tpu.__path__, 'paragraph_tpu.')]"
 	$(PY) -m pytest tests/test_roundtrip.py -x -q
 
+# fast tier (slow-marked e2e tests deselected by pytest.ini addopts)
 test: native
 	$(PY) -m pytest tests/ -x -q
+
+# full tier: everything, including slow-marked e2e tests
+test-all: native
+	$(PY) -m pytest tests/ -x -q -m ""
+
 
 dryrun:
 	$(PY) -c "import os; \
@@ -28,7 +34,7 @@ dryrun:
 	  import jax; jax.config.update('jax_platforms','cpu'); \
 	  import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"
 
-check: test dryrun
+check: test-all dryrun
 
 # one-time: route git hooks through the tracked githooks/ dir
 hooks:

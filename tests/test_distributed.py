@@ -75,6 +75,7 @@ def test_sharded_multi_round():
                 assert (a == b).all()
 
 
+@pytest.mark.slow
 def test_grmpy_pipeline_sharded_equals_serial(monkeypatch):
     """The real run_grmpy: batch mode (auto-sharded on the multi-device
     mesh) vs the serial per-event path must emit identical genotypes."""

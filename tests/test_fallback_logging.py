@@ -58,6 +58,7 @@ def test_batched_aligner_fallback_logs_and_reports_engine(caplog):
     assert all(r.graph_cigar for r in reads)
 
 
+@pytest.mark.slow
 def test_grmpy_batch_fallback_logs_and_matches(monkeypatch, caplog):
     """Cross-event scoring failure must log a warning and still produce
     the same genotypes via the per-event path."""

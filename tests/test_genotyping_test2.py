@@ -11,6 +11,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from paragraph_tpu.pipeline.multigrmpy import MultigrmpyOptions, run
 
 GT2 = "/root/reference/share/test-data/genotyping_test_2"

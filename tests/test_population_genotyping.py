@@ -94,6 +94,7 @@ def test_combined_consensus_batch_fast_path():
     assert conflict.tolist() == [False, True, False, False]
 
 
+@pytest.mark.slow
 def test_device_engine_end_to_end(tmp_path):
     """grmpy --genotyping-engine device: the whole-run sharded float32
     pass must reproduce the float64 host engine's confident genotypes
