@@ -101,7 +101,12 @@ def check_truth(genotypes_vcf, genotypes_json, events):
         ft = fts.get(ev["pos"], "")
         gq = gqs.get(ev["pos"], -1)
         if ft not in ("", "PASS"):
-            reason = "filtered"
+            # a flagged call with high consensus GQ deserves its own
+            # class: the pipeline says "unreliable" while the model says
+            # "confident" — track these separately instead of burying
+            # them under `filtered` (they are the DUP evidence-starvation
+            # signature, docs/DUP_HET_ANALYSIS.md)
+            reason = "suspect" if gq >= 10 else "filtered"
         elif 0 <= gq < 10:
             reason = "low_gq"
         else:
@@ -110,6 +115,23 @@ def check_truth(genotypes_vcf, genotypes_json, events):
                        "want": want, "got": got, "FT": ft, "GQ": gq,
                        "reason": reason})
     return n_ok, misses
+
+
+def per_kind_recall(events, misses):
+    """{kind: {"total": N, "ok": N, "recall": f, <reason counts>}}."""
+    missed_by_event = {m["event"]: m["reason"] for m in misses}
+    table = {}
+    for i, ev in enumerate(events):
+        row = table.setdefault(ev["kind"], {"total": 0, "ok": 0})
+        row["total"] += 1
+        reason = missed_by_event.get(i)
+        if reason is None:
+            row["ok"] += 1
+        else:
+            row[reason] = row.get(reason, 0) + 1
+    for row in table.values():
+        row["recall"] = round(row["ok"] / row["total"], 4)
+    return table
 
 
 def main():
@@ -177,9 +199,12 @@ def main():
         "explained_accuracy": round(
             (len(events) - n_unexpected) / len(events), 4),
         "unexpected_misses": n_unexpected,
+        "suspect_misses": sum(m["reason"] == "suspect" for m in misses),
         "peak_rss_main_mb": round(rss_mb, 1),
         "peak_rss_worker_mb": round(rss_child, 1),
     }), file=sys.stderr)
+    print(json.dumps({"per_kind_recall": per_kind_recall(events, misses)}),
+          file=sys.stderr)
     for m in misses:
         print(json.dumps({"miss": m}), file=sys.stderr)
 
