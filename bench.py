@@ -239,6 +239,27 @@ def main():
                 IndexError, KeyError) as exc:
             out["sv_genotyping_throughput_30x"] = None
             out["e2e_error"] = f"{type(exc).__name__}: {exc}"
+        # population config (BASELINE.json's N-sample run in single-chip
+        # miniature): 8 samples x 150 events through the pipelined
+        # sharded device genotyping engine
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_population.py"),
+                 "--events", "150", "--samples", "8"],
+                capture_output=True, text=True, timeout=600)
+            line = proc.stdout.strip().splitlines()[-1]
+            pop = json.loads(line)
+            out["sv_sample_throughput"] = pop["value"]
+            for dline in proc.stderr.splitlines():
+                if '"confident_accuracy"' in dline:
+                    out["population_detail"] = json.loads(dline)
+                    break
+        except (subprocess.TimeoutExpired, OSError, ValueError,
+                IndexError, KeyError) as exc:
+            out["sv_sample_throughput"] = None
+            out["population_error"] = f"{type(exc).__name__}: {exc}"
 
     if not tpu_ok:
         out["failed"] = True

@@ -82,9 +82,12 @@ def cmd_multigrmpy(argv):
     p.add_argument("--validate-schemas", action="store_true",
                    help="JSON-Schema validation of event graphs and "
                         "genotyping records (paragraph_tpu/schema/)")
-    p.add_argument("--genotyping-engine", default="host",
-                   choices=["host", "device"],
-                   help="host: per-event float64 parity engine; device: "
+    p.add_argument("--genotyping-engine", default="auto",
+                   choices=["auto", "host", "device"],
+                   help="auto (default): device for multi-sample "
+                        "batches (>=4 samples, >=8 events), host "
+                        "otherwise; host: per-event float64 parity "
+                        "engine; device: "
                         "one sharded float32 mesh dispatch genotypes "
                         "every (event x sample x breakpoint) of the run")
     _add_logging_args(p)
@@ -147,8 +150,8 @@ def cmd_grmpy(argv):
     p.add_argument("--infer-read-haplotypes", action="store_true")
     p.add_argument("--progress", action="store_true",
                    help="periodic N/M-events-done progress lines")
-    p.add_argument("--genotyping-engine", default="host",
-                   choices=["host", "device"])
+    p.add_argument("--genotyping-engine", default="auto",
+                   choices=["auto", "host", "device"])
     _add_logging_args(p)
     args = p.parse_args(argv)
     _setup_logging(args)

@@ -38,7 +38,7 @@ class GrmpyParameters:
                  alignment_output_folder: str = "",
                  infer_read_haplotypes: bool = False,
                  progress: bool = False,
-                 gt_engine: str = "host"):
+                 gt_engine: str = "auto"):
         self.threads = threads
         self.max_reads = max_reads
         self.bad_align_frac = bad_align_frac
@@ -303,6 +303,17 @@ def run_grmpy(graph_descs: List[dict], reference_path: str,
     if parameters is None:
         parameters = GrmpyParameters()
 
+    if parameters.gt_engine == "auto":
+        # population-scale multi-sample batches default to the sharded
+        # float32 device engine (one mesh dispatch for every event x
+        # sample x breakpoint job); small runs — including the 2-sample
+        # round-trip parity oracle — stay on the float64 host engine,
+        # whose outputs are bit-exact vs the reference model
+        parameters = copy.copy(parameters)
+        parameters.gt_engine = (
+            "device" if len(manifest) >= 4 and len(graph_descs) >= 8
+            else "host")
+
     if batch_events is None:
         batch_events = (
             len(graph_descs) > 1
@@ -316,11 +327,10 @@ def run_grmpy(graph_descs: List[dict], reference_path: str,
     # (pipeline/parallel_grmpy.py): worker processes extract round k+1
     # and analyse round k-1 while the device scores round k. threads=1
     # forces the single-process path (the reference's -t semantics).
-    # The device genotyping engine needs the whole run's breakpoint
-    # jobs in the parent (one mesh dispatch), so it takes the batch
-    # path below instead.
+    # With the device genotyping engine, workers defer genotyping and
+    # the parent runs one sharded mesh dispatch over every
+    # (event x sample x breakpoint) job at the end of the pipeline.
     if (batch_events and len(graph_descs) >= 8 and parameters.threads != 1
-            and parameters.gt_engine != "device"
             and not parameters.alignment_output_folder):
         from concurrent.futures.process import BrokenProcessPool
 

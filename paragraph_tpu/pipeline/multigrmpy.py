@@ -57,7 +57,7 @@ class MultigrmpyOptions:
     validate_schemas: bool = False
     # "host" = float64 parity engines; "device" = one sharded float32
     # mesh dispatch for the whole run (genotyping/device_engine.py)
-    gt_engine: str = "host"
+    gt_engine: str = "auto"
 
 
 def _file_sha256(path: str) -> str:

@@ -106,7 +106,8 @@ def _extract_event(gi: int, graph_desc: dict, reference_path: str,
 def _analyze_event(gi: int, graph_desc: dict, reference_path: str,
                    genotyping_parameters: Optional[dict],
                    parameters, per_sample: List[tuple],
-                   bam_specs: List[tuple], max_reads: int):
+                   bam_specs: List[tuple], max_reads: int,
+                   defer_genotyping: bool = False):
     """Per-event host analysis + genotyping for all samples.
 
     per_sample: (SampleInfo, has_reads, precomputed-scores-or-None);
@@ -149,6 +150,11 @@ def _analyze_event(gi: int, graph_desc: dict, reference_path: str,
                 output.pop(key, None)
             sample.alignment_data = output
         samples.append(sample)
+    if defer_genotyping:
+        # device genotyping engine: the parent collects every event's
+        # per-sample alignment data and genotypes the whole run in one
+        # sharded mesh dispatch (genotyping/device_engine.py)
+        return samples
     return count_and_genotype(graph_desc, reference_path,
                               genotyping_parameters, samples)
 
@@ -174,6 +180,7 @@ def run_grmpy_pipelined(graph_descs: List[dict], reference_path: str,
     needs_align = [s for s in manifest if s.alignment_data is None]
     bam_specs = [(s.sample_name, s.filename, s.index_filename)
                  for s in needs_align]
+    defer_genotyping = getattr(parameters, "gt_engine", "host") == "device"
 
     use_sharded = jax.device_count() > 1
 
@@ -204,7 +211,7 @@ def run_grmpy_pipelined(graph_descs: List[dict], reference_path: str,
             ctx, workers, rounds, graph_descs, reference_path, manifest,
             needs_align, bam_specs, genotyping_parameters, parameters,
             use_sharded, extract_futs, analysis_futs, report_progress,
-            n_events)
+            n_events, defer_genotyping)
     finally:
         for k, v in saved_env.items():
             if v is None:
@@ -216,7 +223,7 @@ def run_grmpy_pipelined(graph_descs: List[dict], reference_path: str,
 def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
                   manifest, needs_align, bam_specs, genotyping_parameters,
                   parameters, use_sharded, extract_futs, analysis_futs,
-                  report_progress, n_events):
+                  report_progress, n_events, defer_genotyping=False):
     import concurrent.futures
     import copy
     import time
@@ -280,7 +287,7 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
                 analysis_futs[gi] = pools[gi % workers].submit(
                     _analyze_event, gi, graph_descs[gi], reference_path,
                     genotyping_parameters, parameters, per_sample,
-                    bam_specs, parameters.max_reads)
+                    bam_specs, parameters.max_reads, defer_genotyping)
             _clock("device_wait+submit", t0)
 
         pending_score = None
@@ -362,10 +369,28 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
 
         t0 = time.perf_counter()
         results = []
-        for gi in range(n_events):
-            results.append(analysis_futs[gi].result())
-            report_progress(gi + 1)
-        _clock("analysis_wait", t0)
+        if defer_genotyping:
+            from ..genotyping.device_engine import genotype_events_on_device
+            from .grmpy import make_event_genotyper
+
+            genotypers = []
+            for gi in range(n_events):
+                samples = analysis_futs[gi].result()
+                genotypers.append(make_event_genotyper(
+                    graph_descs[gi], reference_path,
+                    genotyping_parameters, samples))
+            _clock("analysis_wait", t0)
+            t0 = time.perf_counter()
+            genotype_events_on_device(genotypers)
+            for gi, gtr in enumerate(genotypers):
+                results.append(gtr.get_genotypes())
+                report_progress(gi + 1)
+            _clock("device_genotype", t0)
+        else:
+            for gi in range(n_events):
+                results.append(analysis_futs[gi].result())
+                report_progress(gi + 1)
+            _clock("analysis_wait", t0)
         logger.info("[pipeline] stage seconds: %s",
                     {k: round(v, 2) for k, v in sorted(stage_t.items())})
         if kernel_stats.get("dispatches"):

@@ -164,7 +164,8 @@ def index_bam(path):
 
 def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
              contig="chrS", spacing=6000, seed=1,
-             kinds=("DEL", "INS", "DUP", "INV", "DELSNP")):
+             kinds=("DEL", "INS", "DUP", "INV", "DELSNP"),
+             n_samples=1):
     """Plant a mixed SV workload (BASELINE.json's "~1k mixed
     DEL/INS/DUP/INV batch" config): symbolic DUP (tandem) and INV events
     alongside sequence-explicit DEL/INS, plus nested deletion+SNP events
@@ -210,14 +211,14 @@ def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
 
     # haplotypes: apply alt allele per event where gt says so; track the
     # hap→ref coordinate map so read placement is analytic
-    def apply(hap_idx):
+    def apply(hap_idx, gt_of):
         parts = []
         cur = 0
         anchors = []  # (hap_start, ref_start, seg_len) of ref-copied runs
         hap_len = 0
         for ev in events:
-            has_alt = (ev["gt"] == "1/1" or
-                       (ev["gt"] == "0/1" and hap_idx == 1))
+            gt = gt_of(ev)
+            has_alt = (gt == "1/1" or (gt == "0/1" and hap_idx == 1))
             seg_len = ev["pos"] - cur
             seg = ref[cur:ev["pos"]]
             if has_alt and ev["kind"] == "DELSNP":
@@ -249,9 +250,13 @@ def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
         parts.append(ref[cur:])
         return "".join(parts), anchors
 
-    h0, a0 = apply(0)
-    h1, a1 = apply(1)
-    haps = [(h0, a0), (h1, a1)]
+    # per-sample genotypes: sample 0 = the events' "gt" (the original
+    # single-sample contract); further samples are independent draws
+    sample_names = ["sample"] + [f"sample{k}" for k in range(1, n_samples)]
+    for ev in events:
+        ev["gts"] = {"sample": ev["gt"]}
+        for name in sample_names[1:]:
+            ev["gts"][name] = rng.choice(["0/1", "1/1", "0/0"])
 
     import bisect
 
@@ -264,43 +269,52 @@ def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
         off = s - hap_start
         return ref_start + min(off, max(seg_len - 1, 0))
 
-    # simulate reads
-    n_frags = ref_len * depth // (2 * 2 * read_len)
-    sim = []
-    for i in range(n_frags * 2):
-        hap, anchors = haps[i & 1]
-        if len(hap) < frag_len + 10:
-            continue
-        start = rng.randrange(0, len(hap) - frag_len)
-        frag = hap[start:start + frag_len]
-        sim.append((f"sim{i}", frag[:read_len], frag[-read_len:],
-                    hap_to_ref(anchors, start),
-                    hap_to_ref(anchors, start + frag_len - read_len)))
+    def simulate_sample(sample_name):
+        gt_of = lambda ev: ev["gts"][sample_name]  # noqa: E731
+        h0, a0 = apply(0, gt_of)
+        h1, a1 = apply(1, gt_of)
+        haps = [(h0, a0), (h1, a1)]
+        # simulate reads
+        n_frags = ref_len * depth // (2 * 2 * read_len)
+        sim = []
+        for i in range(n_frags * 2):
+            hap, anchors = haps[i & 1]
+            if len(hap) < frag_len + 10:
+                continue
+            start = rng.randrange(0, len(hap) - frag_len)
+            frag = hap[start:start + frag_len]
+            sim.append((f"sim{i}", frag[:read_len], frag[-read_len:],
+                        hap_to_ref(anchors, start),
+                        hap_to_ref(anchors, start + frag_len - read_len)))
 
-    def mutate(s):
-        k = rng.binomialvariate(len(s), 0.002) if hasattr(
-            rng, "binomialvariate") else sum(
-                rng.random() < 0.002 for _ in range(len(s)))
-        if not k:
-            return s
-        out = list(s)
-        for _ in range(k):
-            out[rng.randrange(len(out))] = rng.choice("ACGT")
-        return "".join(out)
+        def mutate(s):
+            k = rng.binomialvariate(len(s), 0.002) if hasattr(
+                rng, "binomialvariate") else sum(
+                    rng.random() < 0.002 for _ in range(len(s)))
+            if not k:
+                return s
+            out = list(s)
+            for _ in range(k):
+                out[rng.randrange(len(out))] = rng.choice("ACGT")
+            return "".join(out)
 
-    qual = chr(33 + 30) * read_len
-    records = []
-    for name, r1, r2, p, p2 in sim:
-        r1m, r2m = mutate(r1), mutate(r2)
-        records.append((p, name, 99, p, p2, frag_len, r1m, qual, True))
-        records.append((p2, name, 147, p2, p, -frag_len, rc(r2m), qual,
-                        False))
-    records.sort(key=lambda r: r[0])
-    bam_recs = []
-    for _, name, flag, p, mp, tlen, seq, q, first in records:
-        bam_recs.append(bam_record(name, flag, 0, p, 60,
-                                   [(0, read_len)], 0, mp, tlen, seq, q))
-    write_bam(os.path.join(out_dir, "sample.bam"), contig, ref_len, bam_recs)
+        qual = chr(33 + 30) * read_len
+        records = []
+        for name, r1, r2, p, p2 in sim:
+            r1m, r2m = mutate(r1), mutate(r2)
+            records.append((p, name, 99, p, p2, frag_len, r1m, qual, True))
+            records.append((p2, name, 147, p2, p, -frag_len, rc(r2m), qual,
+                            False))
+        records.sort(key=lambda r: r[0])
+        bam_recs = []
+        for _, name, flag, p, mp, tlen, seq, q, first in records:
+            bam_recs.append(bam_record(name, flag, 0, p, 60,
+                                       [(0, read_len)], 0, mp, tlen, seq, q))
+        write_bam(os.path.join(out_dir, f"{sample_name}.bam"), contig,
+                  ref_len, bam_recs)
+
+    for sample_name in sample_names:
+        simulate_sample(sample_name)
 
     with open(os.path.join(out_dir, "ref.fa"), "w") as f:
         f.write(f">{contig}\n")
@@ -346,7 +360,9 @@ def generate(out_dir, n_events=50, depth=30, read_len=150, frag_len=400,
 
     with open(os.path.join(out_dir, "samples.txt"), "w") as f:
         f.write("id\tpath\tdepth\tread length\n")
-        f.write(f"sample\t{out_dir}/sample.bam\t{depth}\t{read_len}\n")
+        for name in sample_names:
+            f.write(f"{name}\t{out_dir}/{name}.bam\t{depth}\t"
+                    f"{read_len}\n")
 
     with open(os.path.join(out_dir, "truth.json"), "w") as f:
         json.dump(events, f, indent=1)
