@@ -11,6 +11,9 @@
 //
 // Build: make -C native   (produces libparagraph_sw.so)
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 #include <algorithm>
 #include <atomic>
 #include <cassert>
@@ -123,7 +126,7 @@ void fill_graph(const GraphCtx& g, const char* read, int m_real,
   bool have_max = false;
 
   std::vector<int32_t> seed_H(m_pad), seed_E(m_pad);
-  std::vector<int32_t> ecol(m_pad), hp(m_pad);
+  std::vector<int32_t> ecol(m_pad), hp(m_pad), gscan(m_pad);
 
   const size_t n_sweep =
       stop_node >= 0 ? std::min(n, (size_t)stop_node + 1) : n;
@@ -183,7 +186,43 @@ void fill_graph(const GraphCtx& g, const char* read, int m_real,
       }
       // 2) F prefix scan in closed form over H' (valid for gapO >= gapE:
       //    F never improves by chaining through an F-derived H), then
-      //    H = max(H', F)
+      //    H = max(H', F). This is the one serial loop of the fill, so
+      //    it gets a SIMD blocked prefix-max: g[j] = max_{k<=j}
+      //    (H'[k] + k*gapE) via 3 in-register log steps per 8-lane
+      //    block plus a running carry, then
+      //    H[j] = max(H'[j], max(0, g[j-1] - gapOpen - (j-1)*gapExtend)).
+#if defined(__AVX2__)
+      {
+        int32_t* gbuf = gscan.data();
+        __m256i carry = _mm256_setzero_si256();  // H' >= 0, so 0 is -inf
+        const __m256i vge8 = _mm256_set1_epi32(8 * kGapExtend);
+        const __m256i bcast7 = _mm256_set1_epi32(7);
+        __m256i jterm = _mm256_setr_epi32(
+            0, kGapExtend, 2 * kGapExtend, 3 * kGapExtend,
+            4 * kGapExtend, 5 * kGapExtend, 6 * kGapExtend,
+            7 * kGapExtend);
+        for (int j = 0; j < m_pad; j += 8) {
+          __m256i x = _mm256_loadu_si256((const __m256i*)(hpv + j));
+          x = _mm256_add_epi32(x, jterm);
+          jterm = _mm256_add_epi32(jterm, vge8);
+          __m256i lo = _mm256_permute2x128_si256(x, x, 0x08);
+          x = _mm256_max_epi32(x, _mm256_alignr_epi8(x, lo, 12));
+          lo = _mm256_permute2x128_si256(x, x, 0x08);
+          x = _mm256_max_epi32(x, _mm256_alignr_epi8(x, lo, 8));
+          x = _mm256_max_epi32(x, _mm256_permute2x128_si256(x, x, 0x08));
+          x = _mm256_max_epi32(x, carry);
+          _mm256_storeu_si256((__m256i*)(gbuf + j), x);
+          carry = _mm256_permutevar8x32_epi32(x, bcast7);
+        }
+        Hrow[0] = hpv[0];
+        for (int j = 1; j < m_pad; ++j) {  // auto-vectorizes
+          const int32_t fv0 =
+              gbuf[j - 1] - kGapOpen - (j - 1) * kGapExtend;
+          const int32_t fv = fv0 > 0 ? fv0 : 0;
+          Hrow[j] = hpv[j] > fv ? hpv[j] : fv;
+        }
+      }
+#else
       {
         int32_t gmax = INT32_MIN / 2;
         Hrow[0] = hpv[0];
@@ -195,6 +234,7 @@ void fill_graph(const GraphCtx& g, const char* read, int m_real,
           Hrow[j] = hpv[j] > fv ? hpv[j] : fv;
         }
       }
+#endif
       // 3) E for the next row — vectorizable
       int32_t* ecw = ecol.data();
       for (int j = 0; j < m_pad; ++j) {

@@ -161,7 +161,7 @@ def _analyze_event(gi: int, graph_desc: dict, reference_path: str,
 
 def run_grmpy_pipelined(graph_descs: List[dict], reference_path: str,
                         manifest, genotyping_parameters: Optional[dict],
-                        parameters, round_events: int = 32,
+                        parameters, round_events: int = 0,
                         workers: int = 0) -> List[dict]:
     """Event-ordered genotyping results for every graph, produced by the
     3-stage pipeline described in the module docstring."""
@@ -174,6 +174,21 @@ def run_grmpy_pipelined(graph_descs: List[dict], reference_path: str,
 
     workers = workers or resolve_threads(parameters.threads)
     n_events = len(graph_descs)
+    if not round_events:
+        # align rounds with the scorer's chunk budget so single-sample
+        # rounds fill exactly one dispatch (PAIR_BUDGET pairs) instead
+        # of one full + one fragment; multi-sample rounds shrink so a
+        # round stays a small number of full chunks
+        from ..ops.multi_sw import PAIR_BUDGET
+
+        n_align = max(1, sum(1 for s in manifest
+                             if s.alignment_data is None))
+        # single-sample rounds stay at the bench-validated 32; multi-
+        # sample rounds shrink so one round is a few full chunks rather
+        # than a dozen (peak RAM and dispatch-table size scale with
+        # round pairs)
+        round_events = 32 if n_align == 1 else max(
+            8, (PAIR_BUDGET // n_align) or 1)
     rounds = [list(range(r, min(r + round_events, n_events)))
               for r in range(0, n_events, round_events)]
 
