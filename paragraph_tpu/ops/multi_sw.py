@@ -49,7 +49,7 @@ DEFAULT_TB = 128
 # (the round-2 behaviour) multiplied that into minutes of apparent
 # "device time" on multi-event runs.
 TILE_BUDGET = 256          # grid size per launch (bench-validated)
-PAIR_BUDGET = 24           # pairs per chunk -> pred_tables E = 48 fixed
+PAIR_BUDGET = 48           # pairs per chunk -> pred_tables E = 96 fixed
 L_EV_FLOOR = 2048          # packed end-tracking column-bit budget
 M_FLOOR = 160              # read-length stripe floor (150bp + bucket)
 
@@ -111,6 +111,16 @@ class MultiGraphArrays:
             [a.is_start.astype(np.int32) for a in arrays], np.int32, 0)
         self.is_last = cat(
             [a.is_last.astype(np.int32) for a in arrays], np.int32, 0)
+        # one int32 per column for the kernel's scalar-prefetch stream:
+        # [ last(16) | start(15) | node id(14:3) | ref code(2:0) ] —
+        # SMEM capacity bounds columns/launch, so packing 4 streams into
+        # one quadruples the usable column budget (col_in_node stays
+        # host-only: the kernel never reads it)
+        assert self.n_max < (1 << 12)
+        self.packed_cols = (self.ref_codes
+                            | (self.col_node << 3)
+                            | (self.is_start << 15)
+                            | (self.is_last << 16)).astype(np.int32)
         pred_tables = np.full((e_total, self.n_max, self.p_max),
                               self.n_max, np.int32)
         for e, a in enumerate(arrays):
@@ -154,9 +164,8 @@ def _make_kernel(L: int, L_ev: int, N: int, P: int, M: int, TB: int,
         log_steps.append(s)
         s *= 2
 
-    def kernel(ref_codes_ref, col_node_ref, col_in_node_ref, start_ref,
-               last_ref, pred_ref, tile_col_start_ref, tile_col_len_ref,
-               tile_event_ref,
+    def kernel(packed_cols_ref, pred_ref, tile_col_start_ref,
+               tile_col_len_ref, tile_event_ref,
                read_codes_ref, read_lens_ref, read_vlens_ref,
                score_ref, end_col_ref, end_read_ref, multi_ref,
                prof_ref, h_ref, e_ref, saved_h_ref, saved_e_ref,
@@ -200,10 +209,11 @@ def _make_kernel(L: int, L_ev: int, N: int, P: int, M: int, TB: int,
         best_ref[:] = jnp.zeros((1, TB), jnp.int32)
 
         def col_body(i, _):
-            ref_c = ref_codes_ref[i]
-            nid = col_node_ref[i]
-            is_start = start_ref[i] != 0
-            is_last = last_ref[i] != 0
+            packed_col = packed_cols_ref[i]
+            ref_c = packed_col & 7
+            nid = (packed_col >> 3) & 0xFFF
+            is_start = (packed_col & (1 << 15)) != 0
+            is_last = (packed_col & (1 << 16)) != 0
 
             @pl.when(is_start)
             def _():
@@ -267,7 +277,7 @@ def _make_kernel(L: int, L_ev: int, N: int, P: int, M: int, TB: int,
 @partial(jax.jit,
          static_argnames=("L", "L_ev", "N", "P", "M", "TB", "gap_open",
                           "gap_extend", "match", "mismatch", "interpret"))
-def multi_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
+def multi_pallas_fill(packed_cols,
                       pred_tables, tile_col_start, tile_col_len,
                       tile_event, read_codes_t, read_lens, read_vlens,
                       L: int, L_ev: int, N: int, P: int, M: int, TB: int,
@@ -281,7 +291,7 @@ def multi_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
                           match, mismatch)
     state_dt = jnp.int32
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=5,
         grid=(B // TB,),
         in_specs=[
             pl.BlockSpec((M, TB), lambda i, *_: (0, i),
@@ -311,7 +321,7 @@ def multi_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
-    )(ref_codes, col_node, col_in_node, is_start, is_last, pred_tables,
+    )(packed_cols, pred_tables,
       tile_col_start, tile_col_len, tile_event,
       read_codes_t, read_lens, read_vlens)
     # one [4, B] device buffer so the caller pays a single host fetch
@@ -321,7 +331,7 @@ def multi_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
 @partial(jax.jit,
          static_argnames=("L", "L_ev", "N", "P", "M", "TB", "gap_open",
                           "gap_extend", "match", "mismatch", "interpret"))
-def paired_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
+def paired_pallas_fill(packed_cols,
                        pred_tables, tile_col_start, tile_col_len,
                        tile_event, base_codes_t, base_lens, base_vlens,
                        col_idx, flip, comp,
@@ -363,7 +373,7 @@ def paired_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
                           match, mismatch)
     state_dt = jnp.int32
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=5,
         grid=(B // TB,),
         in_specs=[
             pl.BlockSpec((M, TB), lambda i, *_: (0, i),
@@ -393,7 +403,7 @@ def paired_pallas_fill(ref_codes, col_node, col_in_node, is_start, is_last,
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
-    )(ref_codes, col_node, col_in_node, is_start, is_last, pred_tables,
+    )(packed_cols, pred_tables,
       tile_col_start, tile_col_len, tile_event, x, lens, vlens)
     return jnp.concatenate(outs, axis=0)
 
@@ -575,7 +585,18 @@ class PairedGraphSW:
     forward graph and r_out for their reversals vs the reversed graph.
     """
 
-    COL_BUDGET = 24576
+    # SMEM bounds the per-launch prefetch operands, and the Mosaic
+    # allocator's cost is NOT uniform per operand (measured empirically
+    # on v5e, 1MB SMEM): the column stream costs ~1x its bytes but the
+    # [E, N, P] predecessor table costs ~32x its bytes. __init__ sizes
+    # the effective pair and column budgets from that model so every
+    # graph-shape combination compiles; with the packed single-int32
+    # column stream a 32-event single-sample round fits ONE dispatch —
+    # each launch's upload+compute+fetch costs a tunnel round trip.
+    COL_BUDGET = 49152
+    SMEM_BYTES = 1048576
+    PRED_SMEM_FACTOR = 32
+    SMEM_SLACK = 65536
 
     #: VPU-utilization model for engine_report(), calibrated by the
     #: round-5 ablation study (docs/ROOFLINE.md): the int32 column loop
@@ -616,6 +637,18 @@ class PairedGraphSW:
                 for f, r in pair_gas), 2)
         self.tile_batch = tile_batch
         self.interpret = _auto_interpret(interpret)
+        # pair budget: the predecessor table [E=2*pairs, N, P] is the
+        # expensive SMEM operand (PRED_SMEM_FACTOR x its bytes)
+        pred_cost = self.PRED_SMEM_FACTOR * 4 * self.n_max * self.p_max
+        pair_budget = max(1, min(
+            PAIR_BUDGET,
+            (self.SMEM_BYTES // 2) // (2 * pred_cost)))
+        self.e_uni = 2 * pair_budget
+        # column budget: whatever SMEM remains after the pred table
+        pred_bytes = (self.PRED_SMEM_FACTOR * 4
+                      * self.e_uni * self.n_max * self.p_max)
+        col_cap = (self.SMEM_BYTES - pred_bytes - self.SMEM_SLACK) // 4
+        col_budget = min(col_budget, max(4096, (col_cap // 1024) * 1024))
         self.chunk_pairs: List[List[int]] = []
         self.chunk_arrays: List[MultiGraphArrays] = []
         cur: List[int] = []
@@ -623,7 +656,7 @@ class PairedGraphSW:
         for i, (fa, ra) in enumerate(pair_gas):
             cols = len(fa.ref_codes) + len(ra.ref_codes)
             if cur and (cur_cols + cols > col_budget
-                        or len(cur) >= PAIR_BUDGET):
+                        or len(cur) >= pair_budget):
                 self.chunk_pairs.append(cur)
                 cur, cur_cols = [], 0
             cur.append(i)
@@ -634,7 +667,6 @@ class PairedGraphSW:
             sum(len(pair_gas[i][0].ref_codes) + len(pair_gas[i][1].ref_codes)
                 for i in idxs) for idxs in self.chunk_pairs)
         self.l_uni = _bucket(max(col_budget, max_chunk_cols), 1024)
-        self.e_uni = 2 * PAIR_BUDGET
         self.l_ev = max(L_EV_FLOOR, _bucket(
             max(max(len(f.ref_codes), len(r.ref_codes))
                 for f, r in pair_gas), 256))
@@ -651,8 +683,7 @@ class PairedGraphSW:
             # through the shared device tunnel every individual upload
             # pays a round trip, so per-array puts cost 6x the RTTs
             self._chunk_dev.append(jax.device_put((
-                a.ref_codes, a.col_node, a.col_in_node, a.is_start,
-                a.is_last, a.pred_tables)))
+                a.packed_cols, a.pred_tables)))
 
     def _dispatch(self, chunk_i: int, reads_per_pair, pad_to: int):
         import time as _time
@@ -723,11 +754,19 @@ class PairedGraphSW:
 
         pending, n_pairs = handle
         results = [None] * n_pairs
-        for chunk_i, idxs, out, layout in pending:
+        # one tunnel fetch for ALL chunks when shapes agree (they do
+        # whenever every chunk padded to the same tile budget): each
+        # per-chunk np.asarray costs a full round trip
+        t0 = _time.perf_counter()
+        if len(pending) > 1 and len(
+                {p[2].shape for p in pending}) == 1:
+            stacked = np.asarray(jnp.stack([p[2] for p in pending]))
+            vals_list = list(stacked)
+        else:
+            vals_list = [np.asarray(p[2]) for p in pending]
+        self.stats["device_wait_s"] += _time.perf_counter() - t0
+        for (chunk_i, idxs, out, layout), vals in zip(pending, vals_list):
             a = self.chunk_arrays[chunk_i]
-            t0 = _time.perf_counter()
-            vals = np.asarray(out)  # single [4, B] fetch per chunk
-            self.stats["device_wait_s"] += _time.perf_counter() - t0
             slice_pair_outputs(a, vals, layout, idxs, results)
         return results
 
@@ -828,9 +867,7 @@ class MultiGraphSW:
         l_ev = _bucket(max(a.col_len), 256)
         assert pack_bits(l_ev, codes.shape[1], 1) is not None
         out = multi_pallas_fill(
-            jnp.asarray(a.ref_codes), jnp.asarray(a.col_node),
-            jnp.asarray(a.col_in_node), jnp.asarray(a.is_start),
-            jnp.asarray(a.is_last), jnp.asarray(a.pred_tables),
+            jnp.asarray(a.packed_cols), jnp.asarray(a.pred_tables),
             jnp.asarray(np.asarray(tile_col_start, np.int32)),
             jnp.asarray(np.asarray(tile_col_len, np.int32)),
             jnp.asarray(np.asarray(tile_event, np.int32)),

@@ -163,9 +163,7 @@ class ShardedPairedSW:
             full = list(slot_ids) + [slot_ids[0]] * (S - n_real)
             dev = jax.device_put(
                 tuple(stack(full, attr, pv)
-                      for attr, pv in (("ref_codes", 4), ("col_node", 0),
-                                       ("col_in_node", 0), ("is_start", 0),
-                                       ("is_last", 0),
+                      for attr, pv in (("packed_cols", 4),
                                        ("pred_tables", n_max))),
                 sharding)
             self._round_dev.append((full, n_real, dev))
