@@ -13,15 +13,30 @@ import zlib
 
 
 class BgzfReader:
+    #: decompressed blocks kept per reader (~64 x 64KB = 4MB): targeted
+    #: extraction re-visits blocks constantly (flank-extended regions of
+    #: neighbouring events share blocks, and mate recovery seeks back),
+    #: and zlib.decompress was a visible slice of worker extraction time
+    CACHE_BLOCKS = 64
+
     def __init__(self, path: str):
         self._fh = open(path, "rb")
         self._block_coffset = -1  # compressed offset of currently loaded block
         self._block_data = b""
         self._next_coffset = 0  # compressed offset of the block after current
         self._uoffset = 0  # position within current block
+        from collections import OrderedDict
+
+        self._cache = OrderedDict()  # coffset -> (data, next_coffset)
 
     def _load_block(self, coffset: int) -> None:
         if coffset == self._block_coffset:
+            return
+        cached = self._cache.get(coffset)
+        if cached is not None:
+            self._cache.move_to_end(coffset)
+            self._block_data, self._next_coffset = cached
+            self._block_coffset = coffset
             return
         fh = self._fh
         fh.seek(coffset)
@@ -53,6 +68,9 @@ class BgzfReader:
         self._block_coffset = coffset
         self._block_data = data
         self._next_coffset = coffset + bsize
+        self._cache[coffset] = (data, self._next_coffset)
+        if len(self._cache) > self.CACHE_BLOCKS:
+            self._cache.popitem(last=False)
 
     def block_at(self, coffset: int):
         """Decompressed payload of the block at compressed offset

@@ -131,13 +131,17 @@ def _write_alignments_json(output, parameters, paragraph_parameters,
 
 def make_event_genotyper(graph_desc: dict, reference_path: str,
                          genotyping_parameters: Optional[dict],
-                         samples: List[SampleInfo]
+                         samples: List[SampleInfo],
+                         graph: Optional[SequenceGraph] = None
                          ) -> GraphBreakpointGenotyper:
     """Breakpoint genotyper for one event with all sample alignments
-    added (the counting half of grmpy::countAndGenotype)."""
+    added (the counting half of grmpy::countAndGenotype). Callers that
+    already built the event's SequenceGraph (the per-event analysis
+    does, for alignment) pass it to skip a second from_json build."""
     root = graph_desc if graph_desc is not None else (
         samples[0].alignment_data)
-    graph = SequenceGraph.from_json(root, reference_path)
+    if graph is None:
+        graph = SequenceGraph.from_json(root, reference_path)
 
     male_ploidy = 2
     female_ploidy = 2
@@ -158,11 +162,12 @@ def make_event_genotyper(graph_desc: dict, reference_path: str,
 
 def count_and_genotype(graph_desc: dict, reference_path: str,
                        genotyping_parameters: Optional[dict],
-                       samples: List[SampleInfo]) -> dict:
+                       samples: List[SampleInfo],
+                       graph: Optional[SequenceGraph] = None) -> dict:
     """grmpy::countAndGenotype (CountAndGenotype.cpp:46-88)."""
     return make_event_genotyper(graph_desc, reference_path,
                                 genotyping_parameters,
-                                samples).get_genotypes()
+                                samples, graph=graph).get_genotypes()
 
 
 def _make_paragraph_parameters(parameters: GrmpyParameters,

@@ -156,7 +156,7 @@ def _analyze_event(gi: int, graph_desc: dict, reference_path: str,
         # sharded mesh dispatch (genotyping/device_engine.py)
         return samples
     return count_and_genotype(graph_desc, reference_path,
-                              genotyping_parameters, samples)
+                              genotyping_parameters, samples, graph=graph)
 
 
 def run_grmpy_pipelined(graph_descs: List[dict], reference_path: str,

@@ -101,9 +101,16 @@ def edge_filter(graph: SequenceGraph, read: Read, node1: str, node2: str,
 def disambiguate_reads(graph: SequenceGraph, reads: List[Read],
                        use_node_filter: bool = True,
                        use_edge_filter: bool = True) -> None:
-    """disambiguateReads (Disambiguation.cpp:82-142)."""
-    name_to_id = graph.name_to_id
+    """disambiguateReads (Disambiguation.cpp:82-142).
+
+    Hot path: a path's node ids and its per-node alignments are
+    index-aligned (DAG paths never repeat a node), so the filters run
+    inline on alignment entry i instead of re-scanning the alignment
+    per node/edge the way the standalone node_filter/edge_filter
+    helpers (kept for API parity) do."""
     pfam_cache: Dict[str, PathFamily] = {}
+    node_names = [graph.node_name(i) for i in range(graph.num_nodes)]
+    node_lens = [len(graph.node_seq(i)) for i in range(graph.num_nodes)]
     for read in reads:
         read.graph_sequences_supported = []
         read.graph_nodes_supported = []
@@ -112,28 +119,50 @@ def disambiguate_reads(graph: SequenceGraph, reads: List[Read],
             continue
         gm = decode_read_alignment(read)
         path = gm.node_ids
+        alns = gm.alignments
+        half = len(read.bases) // 2
+        min_ov = len(read.bases) // 10 + 1
         edges_supported: Set[Tuple[str, str]] = set()
         nodes_supported: Set[int] = set()
         overlapped_pfams: Set[str] = set()
-        has_previous = False
-        pnode = 0
-        for node in path:
-            if has_previous:
-                if (not use_edge_filter) or edge_filter(
-                        graph, read, graph.node_name(pnode),
-                        graph.node_name(node), gm, name_to_id):
+        for i, node in enumerate(path):
+            a = alns[i]
+            if i:
+                pnode = path[i - 1]
+                if use_edge_filter:
+                    pa = alns[i - 1]
+                    ok = (pa.num_matched
+                          >= min(pa.reference_length, min_ov)
+                          and a.num_matched
+                          >= min(a.reference_length, min_ov))
+                    if ok:
+                        ok = (pa.query_length < pa.reference_length * 2
+                              and a.query_length < a.reference_length * 2)
+                    if ok:
+                        ok = (pa.num_matched
+                              >= min(node_lens[pnode], min_ov)
+                              and a.num_matched
+                              >= min(node_lens[node], min_ov))
+                else:
+                    ok = True
+                if ok:
                     edges_supported.add(
-                        (graph.node_name(pnode), graph.node_name(node)))
-                    for s in graph.edge_labels(pnode, node):
-                        overlapped_pfams.add(s)
-            has_previous = True
-            pnode = node
-            if (not use_node_filter) or node_filter(
-                    graph, read, graph.node_name(node), gm, name_to_id):
+                        (node_names[pnode], node_names[node]))
+                    overlapped_pfams.update(graph.edge_labels(pnode, node))
+            if use_node_filter:
+                nonmatch = a.num_mismatched + a.num_clipped
+                indel = a.num_inserted + a.num_deleted
+                if node_lens[node] < half:
+                    ok = nonmatch == 0 and indel == 0
+                else:
+                    ok = nonmatch + indel <= half
+            else:
+                ok = True
+            if ok:
                 nodes_supported.add(node)
 
         for n in sorted(nodes_supported):
-            read.graph_nodes_supported.append(graph.node_name(n))
+            read.graph_nodes_supported.append(node_names[n])
         for e in sorted(edges_supported):
             read.graph_edges_supported.append(e[0] + "_" + e[1])
         for label in sorted(overlapped_pfams):
