@@ -198,7 +198,7 @@ def load_graph_description(options: MultigrmpyOptions):
         writer.close()
 
         variants_json = os.path.join(options.output, "variants.json.gz")
-        with gzip.open(variants_json, "wt", compresslevel=6) as f:
+        with gzip.open(variants_json, "wt", compresslevel=2) as f:
             # compact dump: the C encoder is ~8x the indented Python
             # encoder, and this file is parsed, not read, downstream
             f.write(json.dumps(event_list, sort_keys=True,
@@ -264,8 +264,11 @@ def run(options: MultigrmpyOptions) -> dict:
         os.makedirs(alignment_dir, exist_ok=True)
         parameters.alignment_output_folder = alignment_dir
 
-    results = run_grmpy(graphs, options.reference, manifest,
-                        options.genotyping_parameters, parameters)
+    from ..utils.profiling import maybe_profile
+
+    with maybe_profile("grmpy"):
+        results = run_grmpy(graphs, options.reference, manifest,
+                            options.genotyping_parameters, parameters)
 
     if options.validate_schemas:
         from ..utils.schema import validate
@@ -277,7 +280,7 @@ def run(options: MultigrmpyOptions) -> dict:
                 raise type(exc)(f"genotypes record {i}: {exc}")
 
     genotypes_json = os.path.join(options.output, "genotypes.json.gz")
-    with gzip.open(genotypes_json, "wt", compresslevel=6) as f:
+    with gzip.open(genotypes_json, "wt", compresslevel=2) as f:
         f.write(json.dumps(results, sort_keys=True, separators=(",", ":")))
 
     out = {"genotypes_json": genotypes_json}

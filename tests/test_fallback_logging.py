@@ -111,3 +111,19 @@ def test_grmpy_batch_fallback_logs_and_matches(monkeypatch, caplog):
     # that the fallback path ran)
     assert json.dumps(strip_engine(broken), sort_keys=True) == json.dumps(
         strip_engine(ok), sort_keys=True)
+
+
+def test_maybe_profile_noop_and_enabled(tmp_path, monkeypatch):
+    """maybe_profile is a no-op without the env var and never raises
+    with it set (profiler failures degrade to a warning)."""
+    from paragraph_tpu.utils import profiling
+
+    monkeypatch.delenv(profiling.ENV_VAR, raising=False)
+    with profiling.maybe_profile("t"):
+        x = 1
+    assert x == 1
+
+    monkeypatch.setenv(profiling.ENV_VAR, str(tmp_path))
+    with profiling.maybe_profile("t"):
+        x = 2
+    assert x == 2
