@@ -126,6 +126,14 @@ def _analyze_event(gi: int, graph_desc: dict, reference_path: str,
         reads_map = _extract_reads_map(graph_desc, reference_path,
                                        bam_specs, max_reads)
 
+    # one native thread per worker: the orchestrator already runs one
+    # worker process per host core, so auto-threading inside the native
+    # traceback would oversubscribe the cores against the sibling worker
+    import copy as _copy
+
+    parameters = _copy.copy(parameters)
+    parameters.threads = 1
+
     pp = None
     graph = None
     samples = []
