@@ -534,6 +534,11 @@ def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
     pad_to = max(pad_to, _bucket(max_len, 32))
     codes, lens, vlens = encode_blob(
         b"".join(base_blobs), np.concatenate(base_lens), pad_to)
+    # lane->base index rides the tunnel every dispatch: int16 halves it
+    # (base column counts are int16-safe below 32768)
+    col_idx = np.concatenate(col_chunks)
+    if codes.shape[0] <= 32767:
+        col_idx = col_idx.astype(np.int16)
     l_ev = max(_bucket(max(a.col_len), 256), l_ev_floor)
     assert pack_bits(l_ev, codes.shape[1], 1) is not None
     return {
@@ -543,7 +548,7 @@ def build_pair_tables(a: MultiGraphArrays, reads_per_pair, tb: int,
         "codes_t": codes.T.astype(np.int8),
         "lens": lens[None, :].astype(np.int32),
         "vlens": vlens[None, :].astype(np.int32),
-        "col_idx": np.concatenate(col_chunks),
+        "col_idx": col_idx,
         "flip": np.concatenate(flip_chunks)[None, :],
         "comp": np.concatenate(comp_chunks)[None, :],
         "l_ev": l_ev,
@@ -689,6 +694,7 @@ class PairedGraphSW:
         import time as _time
 
         t_host = _time.perf_counter()
+        t0 = t_host
         tb = self.tile_batch
         a = self.chunk_arrays[chunk_i]
         # tile/base budgets: fixed floor, pow2 growth for oversize read
@@ -709,16 +715,24 @@ class PairedGraphSW:
         t = build_pair_tables(a, reads_per_pair, tb, pad_to,
                               tiles_to=tiles_to, bases_to=bases_to,
                               l_ev_floor=self.l_ev)
+        self.stats["tables_s"] = self.stats.get("tables_s", 0.0) + (
+            _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
         dev = self._chunk_dev[chunk_i]
         # one batched transfer for all per-dispatch tables (see __init__)
         tables = jax.device_put((
             t["tile_col_start"], t["tile_col_len"], t["tile_event"],
             t["codes_t"], t["lens"], t["vlens"], t["col_idx"], t["flip"],
             t["comp"]))
+        self.stats["put_s"] = self.stats.get("put_s", 0.0) + (
+            _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
         out = paired_pallas_fill(
             *dev, *tables,
             L=len(a.ref_codes), L_ev=t["l_ev"], N=a.n_max, P=a.p_max,
             M=t["m"], TB=tb, interpret=self.interpret)
+        self.stats["call_s"] = self.stats.get("call_s", 0.0) + (
+            _time.perf_counter() - t0)
         self.stats["dispatches"] += 1
         self.stats["cells"] += int(
             t["tile_col_len"].astype(np.int64).sum()) * tb * t["m"]

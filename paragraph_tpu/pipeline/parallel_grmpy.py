@@ -421,9 +421,13 @@ def _run_pipeline(ctx, workers, rounds, graph_descs, reference_path,
             cells = kernel_stats.get("cells", 0)
             logger.info(
                 "[kernel] dispatches=%d cells=%.2fG device_wait=%.2fs "
-                "eff=%.1f Gcells/s (upper bound; see engine_report)",
+                "eff=%.1f Gcells/s (upper bound; see engine_report) "
+                "host: tables=%.2fs put=%.2fs call=%.2fs",
                 kernel_stats["dispatches"], cells / 1e9, wait,
-                cells / wait / 1e9 if wait > 0 else 0.0)
+                cells / wait / 1e9 if wait > 0 else 0.0,
+                kernel_stats.get("tables_s", 0.0),
+                kernel_stats.get("put_s", 0.0),
+                kernel_stats.get("call_s", 0.0))
     finally:
         for ex in pools:
             ex.shutdown(wait=False, cancel_futures=True)
